@@ -1,0 +1,420 @@
+"""StyleTransfer engine: multi-scale pyramid orchestration over the fused step.
+
+API-parity facade for the reference engine
+(``/root/reference/style_transfer/style_transfer.py:309-499``): same
+constructor surface (device selection + pooling), same ``stylize`` keyword
+surface and defaults, same ``get_image``/``get_image_tensor`` outputs, same
+per-iteration ``STIterate`` callback contract.
+
+Architecture differences (TPU-first, not a port):
+* the per-iteration work is one compiled XLA program per scale
+  (``style_transfer_tpu.step``), scanned in chunks — not eager op dispatch;
+* images/activations are NHWC and can be spatially sharded over an N-chip
+  mesh (the reference supports at most a 2-GPU layer split);
+* state (image, Adam moments, EMA) is an explicit pytree, which makes the
+  cross-scale Adam warm-start (bicubic/bilinear moment resize, ref :285-295)
+  and checkpoint/resume trivial.
+"""
+
+import math
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .models import weights as W
+from .models.vgg import extract_features
+from .ops import losses as L
+from .parallel.mesh import make_mesh, shard_image
+from .step import (
+    AdamState,
+    LoopState,
+    StepConfig,
+    adam_init,
+    make_adam_runner,
+    make_lbfgs_runner,
+)
+from .utils.ema import ema_get, ema_init
+from .utils.jaxcache import enable_persistent_cache
+from .utils.scales import gen_scales, size_to_fit
+from .utils.trace import STIterate, peak_device_ram
+
+__all__ = ["StyleTransfer"]
+
+
+def _pil_to_nhwc(image: Image.Image, size=None) -> np.ndarray:
+    """PIL RGB -> (1, H, W, 3) f32 in [0,1], optional bicubic resize."""
+    if size is not None and image.size != tuple(size):
+        image = image.resize(tuple(size), Image.BICUBIC)
+    arr = np.asarray(image.convert("RGB"), dtype=np.float32) / 255.0
+    return arr[None]
+
+
+def _resize_image(x, hw, method: str = "cubic"):
+    """Device-side resize of an NHWC image to (h, w)."""
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, hw[0], hw[1], c), method=method)
+
+
+def _scale_adam(opt: AdamState, hw) -> AdamState:
+    """Warm-start Adam moments at a new resolution (ref :285-295):
+    first moment resized bicubic, second moment bilinear then clamped >= 0."""
+    mu = _resize_image(opt.mu, hw, "cubic")
+    nu = jnp.maximum(_resize_image(opt.nu, hw, "linear"), 0.0)
+    return AdamState(mu=mu, nu=nu, count=opt.count)
+
+
+class StyleTransfer:
+    """Optimization-based neural style transfer on TPU.
+
+    Args:
+      devices: None (all visible devices), an int (first N devices), or an
+        explicit list of JAX devices. With more than one device the image is
+        spatially sharded over a 2D mesh.
+      pooling: 'max' | 'average' | 'l2'.
+      weights: path to VGG-19 weights (.npz native or torchvision .pth), or a
+        params dict; None resolves via the search order in models/weights.py.
+      compute_dtype: trunk dtype; None picks bf16 on TPU, f32 elsewhere.
+      style_loss: 'w2' (default, reference behavior) or 'gram'.
+      remat: None = auto (rematerialize trunk above ~2.2M pixels), or bool.
+      callback_chunk: iterations fused per device round-trip. Telemetry is
+        emitted per iteration, but wall-times within a chunk are interpolated.
+    """
+
+    def __init__(
+        self,
+        devices=None,
+        pooling: str = "max",
+        *,
+        weights=None,
+        compute_dtype: Optional[str] = None,
+        style_loss: str = "w2",
+        remat: Optional[bool] = None,
+        callback_chunk: int = 50,
+    ):
+        if devices is None:
+            self.devices = list(jax.devices())
+        elif isinstance(devices, int):
+            self.devices = list(jax.devices())[:devices]
+        else:
+            self.devices = list(devices)
+        if not self.devices:
+            raise ValueError("no devices")
+        enable_persistent_cache()
+        self.mesh = make_mesh(self.devices) if len(self.devices) > 1 else None
+
+        if compute_dtype is None:
+            compute_dtype = (
+                "bfloat16" if self.devices[0].platform == "tpu" else None
+            )
+        self.compute_dtype = compute_dtype
+        self.pooling = pooling
+        self.style_loss = style_loss
+        self.remat = remat
+        self.callback_chunk = int(callback_chunk)
+
+        # Default layer configuration (Gatys et al. 2015 taps, reference
+        # weighting, ref :315-322).
+        self.content_layers = [22]
+        self.style_layers = [1, 6, 11, 20, 29]
+        sw = [256, 64, 16, 4, 1]
+        total = sum(abs(w) for w in sw)
+        self.style_layer_weights = [w / total for w in sw]
+
+        if isinstance(weights, dict):
+            self.params, self.weights_source = (
+                {k: jnp.asarray(v) for k, v in weights.items()},
+                "caller-provided",
+            )
+        else:
+            params, src = W.resolve_params(weights)
+            self.params = {k: jnp.asarray(v) for k, v in params.items()}
+            self.weights_source = src
+
+        self.image = None  # NHWC f32 device array (current iterate)
+        self.average = None  # EMAState
+        self._runner_cache = {}
+        self._fn_cache = {}
+        self._rng = np.random.RandomState(0)
+
+    # ------------------------------------------------------------------ API
+
+    def seed(self, seed: int):
+        self._rng = np.random.RandomState(seed)
+
+    def get_image_tensor(self):
+        """Current averaged iterate as (H, W, 3) f32 ndarray in [0, 1]."""
+        if self.average is None:
+            return None
+        img = np.asarray(jax.device_get(ema_get(self.average)))[0]
+        return np.clip(img, 0.0, 1.0)
+
+    def get_image(self, image_type: str = "pil"):
+        if self.average is None:
+            return None
+        arr = self.get_image_tensor()
+        if image_type.lower() == "pil":
+            return Image.fromarray(np.uint8(np.round(arr * 255.0)))
+        if image_type.lower() == "np_uint16":
+            return np.uint16(np.round(arr * 65535.0))
+        raise ValueError("image_type must be 'pil' or 'np_uint16'")
+
+    # ------------------------------------------------------------ internals
+
+    def _auto_remat(self, h, w) -> bool:
+        if self.remat is not None:
+            return bool(self.remat)
+        return h * w > 1536 * 1536
+
+    def _features(self, image, layers):
+        """Target-capture forward pass (f32, jitted; cached per layer set)."""
+        key = ("feat", tuple(sorted(set(layers))))
+        if key not in self._fn_cache:
+            layers_t = key[1]
+            pooling = self.pooling
+
+            def feat(params, img):
+                feats = extract_features(params, img, layers_t, pooling=pooling)
+                # int-keyed dict only: a mixed 'input'/int dict is not a
+                # sortable pytree at the jit boundary
+                return {l: feats[l] for l in layers_t}
+
+            self._fn_cache[key] = jax.jit(feat)
+        return self._fn_cache[key](self.params, jnp.asarray(image, jnp.float32))
+
+    def _style_stats(self, style_image, mode: str):
+        """Jitted per-style-image statistics: {layer: (mean, srm)} or Grams."""
+        key = ("stats", mode)
+        if key not in self._fn_cache:
+            layers_t = tuple(self.style_layers)
+            pooling = self.pooling
+
+            def stats(params, img):
+                feats = extract_features(params, img, layers_t, pooling=pooling)
+                if mode == "w2":
+                    return {l: L.w2_moments(feats[l]) for l in layers_t}
+                return {l: (L.gram_matrix(feats[l]),) for l in layers_t}
+
+            self._fn_cache[key] = jax.jit(stats)
+        return self._fn_cache[key](self.params, jnp.asarray(style_image, jnp.float32))
+
+    def _finalize_w2(self, mean, srm, eps, iters):
+        key = ("w2fin", float(eps), int(iters))
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(
+                lambda m, s: L.w2_target(m, s, eps, iters)
+            )
+        return self._fn_cache[key](mean, srm)
+
+    def _init_image(self, init, content_image, style_images, style_weights, hw):
+        ch, cw = hw
+        if init == "content":
+            return jnp.asarray(_pil_to_nhwc(content_image, (cw, ch)))
+        if init == "gray":
+            x = self._rng.uniform(size=(1, ch, cw, 3)).astype(np.float32)
+            return jnp.asarray(x / 255.0 + 0.5)
+        if init == "uniform":
+            return jnp.asarray(self._rng.uniform(size=(1, ch, cw, 3)).astype(np.float32))
+        if init == "normal":
+            return jnp.asarray(
+                _trunc_normal(self._rng, (1, ch, cw, 3), 0.5, 0.25).astype(np.float32)
+            )
+        if init == "style_stats":
+            mean = np.zeros(3, np.float64)
+            var = np.zeros(3, np.float64)
+            for img, w in zip(style_images, style_weights):
+                arr = np.asarray(img.convert("RGB"), dtype=np.float64) / 255.0
+                mean += arr.mean(axis=(0, 1)) * w
+                var += arr.var(axis=(0, 1), ddof=1) * w
+            chans = [
+                _trunc_normal(self._rng, (1, ch, cw, 1), mean[c], math.sqrt(max(var[c], 0.0)))
+                for c in range(3)
+            ]
+            return jnp.asarray(np.concatenate(chans, axis=-1).astype(np.float32))
+        raise ValueError(
+            "init must be one of 'content', 'gray', 'uniform', 'normal', 'style_stats'"
+        )
+
+    def _get_runner(self, cfg: StepConfig, optimizer: str):
+        key = (cfg, optimizer)
+        if key not in self._runner_cache:
+            if optimizer == "adam":
+                self._runner_cache[key] = make_adam_runner(cfg, self.mesh)
+            elif optimizer == "lbfgs":
+                self._runner_cache[key] = make_lbfgs_runner(cfg, self.mesh)
+            else:
+                raise ValueError("optimizer must be one of 'adam', 'lbfgs'")
+        return self._runner_cache[key]
+
+    def _capture_targets(
+        self, content, style_images, style_weights, scale,
+        style_scale_fac, style_size, cfg,
+    ):
+        """Compute per-scale content/style targets (once per scale, f32)."""
+        content_feats = self._features(content, self.content_layers)
+        consts = {
+            "content": {l: content_feats[l] for l in self.content_layers},
+            "style": {},
+        }
+        blended = {}
+        for img, wgt in zip(style_images, style_weights):
+            if style_size is None:
+                sw, sh = size_to_fit(img.size, round(scale * style_scale_fac))
+            else:
+                sw, sh = size_to_fit(img.size, style_size)
+            print(f"Processing style image ({sw}x{sh})...")
+            style = _pil_to_nhwc(img, (sw, sh))
+            stats = jax.device_get(self._style_stats(style, cfg.style_loss))
+            for layer in self.style_layers:
+                contrib = [np.asarray(c, np.float32) * wgt for c in stats[layer]]
+                if layer not in blended:
+                    blended[layer] = contrib
+                else:
+                    for i, c in enumerate(contrib):
+                        blended[layer][i] = blended[layer][i] + c
+        for layer in self.style_layers:
+            if cfg.style_loss == "w2":
+                mean, srm = blended[layer]
+                consts["style"][layer] = self._finalize_w2(
+                    mean, srm, cfg.w2_eps, cfg.sqrtm_iters
+                )
+            else:
+                consts["style"][layer] = blended[layer][0]
+        return consts
+
+    # --------------------------------------------------------------- stylize
+
+    def stylize(
+        self,
+        content_image,
+        style_images,
+        *,
+        style_weights=None,
+        content_weight: float = 0.015,
+        tv_weight: float = 2.0,
+        optimizer: str = "adam",
+        min_scale: int = 128,
+        end_scale: int = 512,
+        iterations: int = 500,
+        initial_iterations: int = 1000,
+        step_size: float = 0.02,
+        avg_decay: float = 0.99,
+        init: str = "content",
+        style_scale_fac: float = 1.0,
+        style_size: int = None,
+        callback=None,
+    ):
+        min_scale = min(min_scale, end_scale)
+        content_weights = [content_weight / len(self.content_layers)] * len(
+            self.content_layers
+        )
+
+        if style_weights is None:
+            style_weights = [1 / len(style_images)] * len(style_images)
+        else:
+            total = sum(abs(w) for w in style_weights)
+            style_weights = [w / total for w in style_weights]
+        if len(style_images) != len(style_weights):
+            raise ValueError("style_images and style_weights must have the same length")
+
+        scales = gen_scales(min_scale, end_scale)
+
+        cw, ch = size_to_fit(content_image.size, scales[0], scale_up=True)
+        self.image = self._init_image(
+            init, content_image, style_images, style_weights, (ch, cw)
+        )
+        self.image = shard_image(self.image, self.mesh)
+
+        opt_state = None
+        for scale in scales:
+            cw, ch = size_to_fit(content_image.size, scale, scale_up=True)
+            content = jnp.asarray(_pil_to_nhwc(content_image, (cw, ch)))
+
+            self.image = jnp.clip(_resize_image(self.image, (ch, cw)), 0.0, 1.0)
+            self.image = shard_image(self.image, self.mesh)
+            self.average = ema_init(self.image, avg_decay)
+
+            cfg = StepConfig(
+                content_layers=tuple(self.content_layers),
+                style_layers=tuple(self.style_layers),
+                content_weights=tuple(content_weights),
+                style_layer_weights=tuple(self.style_layer_weights),
+                tv_weight=tv_weight,
+                style_loss=self.style_loss,
+                pooling=self.pooling,
+                compute_dtype=self.compute_dtype,
+                step_size=step_size,
+                avg_decay=avg_decay,
+                remat=self._auto_remat(ch, cw),
+            )
+
+            print(f"Processing content image ({cw}x{ch})...")
+            consts = self._capture_targets(
+                content, style_images, style_weights, scale,
+                style_scale_fac, style_size, cfg,
+            )
+
+            if optimizer == "adam":
+                runner = self._get_runner(cfg, "adam")
+                if opt_state is None:
+                    opt_state = adam_init(self.image)
+                else:
+                    opt_state = _scale_adam(opt_state, (ch, cw))
+                state = LoopState(image=self.image, opt=opt_state, ema=self.average)
+            elif optimizer == "lbfgs":
+                runner, lbfgs_init = self._get_runner(cfg, "lbfgs")
+                state = LoopState(
+                    image=self.image,
+                    opt=lbfgs_init(self.image, self.params, consts),
+                    ema=self.average,
+                )
+            else:
+                raise ValueError("optimizer must be one of 'adam', 'lbfgs'")
+
+            actual_its = initial_iterations if scale == scales[0] else iterations
+            done = 0
+            t_prev = time.time()
+            while done < actual_its:
+                n = min(self.callback_chunk, actual_its - done)
+                state, losses = runner(self.params, consts, state, n)
+                losses = np.asarray(jax.device_get(losses), np.float64)
+                # Publish state so callbacks (saves, web preview) see progress.
+                self.image, self.average = state.image, state.ema
+                t_now = time.time()
+                if callback is not None:
+                    ram = peak_device_ram(self.devices)
+                    for k in range(n):
+                        callback(
+                            STIterate(
+                                w=cw, h=ch, i=done + k + 1, i_max=actual_its,
+                                loss=float(losses[k]),
+                                time=t_prev + (t_now - t_prev) * (k + 1) / n,
+                                gpu_ram=ram,
+                            )
+                        )
+                done += n
+                t_prev = t_now
+
+            if optimizer == "adam":
+                opt_state = state.opt
+            # Each new scale starts from the previous scale's averaged iterate
+            # (ref :495-497).
+            self.image = jnp.clip(ema_get(state.ema), 0.0, 1.0)
+            self.average = state.ema
+
+        return self.get_image()
+
+
+def _trunc_normal(rng, shape, mean, std, lo=0.0, hi=1.0):
+    """Truncated normal in [lo, hi] via rejection (host-side init only)."""
+    if std <= 0:
+        return np.full(shape, np.clip(mean, lo, hi), np.float32)
+    out = rng.normal(mean, std, size=shape)
+    bad = (out < lo) | (out > hi)
+    while bad.any():
+        out[bad] = rng.normal(mean, std, size=int(bad.sum()))
+        bad = (out < lo) | (out > hi)
+    return out.astype(np.float32)

@@ -1,0 +1,135 @@
+"""TPU-native VGG-19 feature extractor.
+
+Functional re-design of the reference's ``VGGFeatures`` module
+(``/root/reference/style_transfer/style_transfer.py:20-90``): a pure function
+over an explicit parameter pytree, NHWC layout (TPU's native conv layout),
+bf16-on-MXU compute with f32 parameters, and no device-placement logic — the
+reference's 2-GPU layer split (its only parallelism) is replaced wholesale by
+SPMD spatial sharding in ``style_transfer_tpu.parallel``.
+
+Behavioral parity:
+* layer numbering = torchvision ``features`` indices, so the engine's default
+  taps ([1,6,11,20,29] style / [22] content) mean the same thing (ref :316-317);
+* ImageNet normalization of sRGB [0,1] inputs (ref :30-31);
+* first conv uses replicate padding to reduce edge artifacts (ref :38-39);
+* max/average/L2 pooling with activation rescale {1, 2, 0.78} (ref :21-22,41-46);
+* the raw (pre-normalization) input rides along as ``feats['input']`` so the
+  TV loss sees pixels (ref :84);
+* minimum-input-size guard of 2^(#pools <= last tapped layer) (ref :61-69,80-83).
+"""
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.pooling import POOLING_SCALES, pool2x2, replicate_pad2d
+from .weights import CONV_INDICES, POOL_INDICES
+
+__all__ = [
+    "IMAGENET_MEAN",
+    "IMAGENET_STD",
+    "min_input_size",
+    "normalize",
+    "extract_features",
+]
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+_CONV_SET = frozenset(CONV_INDICES)
+_POOL_SET = frozenset(POOL_INDICES)
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def min_input_size(layers: Sequence[int]) -> int:
+    """2^(number of pooling layers at or before the last tapped layer)."""
+    last = max(layers)
+    size = 1
+    for p in POOL_INDICES:
+        if last < p:
+            break
+        size *= 2
+    return size
+
+
+def normalize(x):
+    mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+    std = jnp.asarray(IMAGENET_STD, x.dtype)
+    return (x - mean) / std
+
+
+def _conv(x, kernel, bias, first: bool):
+    if first:
+        # Replicate padding on conv1_1 (ref :38-39) => explicit edge pad + VALID.
+        x = replicate_pad2d(x, 1)
+        padding = "VALID"
+    else:
+        padding = "SAME"
+    # No preferred_element_type here: the TPU MXU already accumulates bf16
+    # convolutions in f32 internally, and a widened output dtype would break
+    # the conv transpose (backward) rule under mixed precision.
+    y = lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=_DIMNUMS,
+    )
+    return y + bias.astype(x.dtype)
+
+
+def extract_features(
+    params,
+    image,
+    layers: Sequence[int],
+    pooling: str = "max",
+    compute_dtype: Optional[jnp.dtype] = None,
+):
+    """Run the VGG-19 trunk up to the last requested layer.
+
+    Args:
+      params: dict of ``conv{i}_kernel`` (HWIO) / ``conv{i}_bias`` arrays.
+      image: NHWC float image in [0, 1] (sRGB).
+      layers: torchvision feature indices to tap (sorted set semantics).
+      pooling: 'max' | 'average' | 'l2'.
+      compute_dtype: dtype for the conv trunk (e.g. ``jnp.bfloat16`` for MXU
+        throughput). Parameters stay f32; accumulation is pinned to f32.
+
+    Returns:
+      dict mapping ``'input'`` -> the raw image and each tapped index -> its
+      activation (in compute dtype; losses upcast to f32 internally).
+    """
+    layers = sorted(set(int(l) for l in layers))
+    last = layers[-1]
+    h, w = image.shape[1:3]
+    mins = min_input_size(layers)
+    if min(h, w) < mins:
+        raise ValueError(f"Input is {h}x{w} but must be at least {mins}x{mins}")
+
+    pool_scale = POOLING_SCALES[pooling]
+    feats = {"input": image}
+    x = normalize(image)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+
+    wanted = set(layers)
+    for i in range(last + 1):
+        if i in _CONV_SET:
+            x = _conv(x, params[f"conv{i}_kernel"], params[f"conv{i}_bias"], i == 0)
+        elif i in _POOL_SET:
+            x = pool2x2(x, pooling)
+            if pooling != "max":
+                # Swapping the pooling type changes activation scale; rescale
+                # like the reference does (ref :41-46).
+                x = x * jnp.asarray(pool_scale, x.dtype)
+        else:
+            x = jnp.maximum(x, 0)  # ReLU
+        if i in wanted:
+            feats[i] = x
+    return feats
+
+
+# Convenience partial for the bf16 MXU path.
+extract_features_bf16 = partial(extract_features, compute_dtype=jnp.bfloat16)

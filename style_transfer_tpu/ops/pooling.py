@@ -1,0 +1,67 @@
+"""Spatial ops for the VGG trunk: pooling variants and replicate padding.
+
+Capability parity with the reference's pooling configuration
+(``/root/reference/style_transfer/style_transfer.py:21-22,41-46``): ``max``,
+``average`` and ``l2`` (LPPool2d with p=2, which *sums* over the window before
+the root) 2x2/stride-2 pooling, each with the empirical activation-rescale
+factor the reference applies when swapping away from max pooling
+(max: 1.0, average: 2.0, l2: 0.78).
+
+All ops are NHWC and map onto ``lax.reduce_window``, which XLA lowers to
+vectorized TPU window reductions and which GSPMD knows how to partition
+spatially (halo exchange) when H/W are sharded.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["POOLING_SCALES", "pool2x2", "replicate_pad2d", "safe_sqrt"]
+
+# Reference style_transfer.py:22 — activation rescale per pooling mode.
+POOLING_SCALES = {"max": 1.0, "average": 2.0, "l2": 0.78}
+
+
+@jax.custom_jvp
+def safe_sqrt(x):
+    """sqrt with a bounded gradient at 0.
+
+    L2 pooling takes sqrt of a sum of squares; at an all-zero window (common
+    after ReLU) the true derivative is unbounded. PyTorch's LPPool backward
+    produces 0 there; we match that by clamping the denominator.
+    """
+    return jnp.sqrt(x)
+
+
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = jnp.sqrt(x)
+    denom = jnp.where(y > 0, 2.0 * y, jnp.inf)
+    return y, dx / denom
+
+
+def pool2x2(x, mode: str):
+    """2x2 stride-2 pooling over NHWC, floor semantics on odd dims.
+
+    ``l2`` follows ``nn.LPPool2d(2, 2)``: root of the *sum* (not mean) of
+    squares over the window.
+    """
+    if mode == "max":
+        return lax.reduce_window(
+            x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+    if mode == "average":
+        s = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return s * jnp.asarray(0.25, dtype=x.dtype)
+    if mode == "l2":
+        s = lax.reduce_window(
+            jnp.square(x), 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+        return safe_sqrt(s)
+    raise ValueError(f"unknown pooling mode {mode!r}")
+
+
+def replicate_pad2d(x, pad: int = 1):
+    """Edge-replicate padding on the spatial dims of an NHWC tensor."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")

@@ -1,0 +1,166 @@
+"""Differentiable matrix square roots, TPU-first.
+
+Provides the same capability surface as the reference's ``sqrtm.py``
+(``/root/reference/style_transfer/sqrtm.py:9-78``): a Newton-Schulz (NS)
+iteration for the principal square root of an SPD matrix, a memory-efficient
+custom backward pass that solves the associated Lyapunov/Sylvester equation by
+its own NS-style iteration (public algorithm from msubhransu/matrix-sqrt,
+re-derived here), and an eigendecomposition-based variant for validation.
+
+TPU notes
+---------
+* Every iteration is a handful of dense ``C x C`` matmuls -- pure MXU work.
+  We pin ``preferred_element_type`` so accumulation stays in f32 even when
+  callers feed bf16.
+* The loops are ``lax.fori_loop``s: one traced body, no Python unrolling, so
+  compile time stays flat regardless of ``num_iters``.
+* The custom VJP means the forward loop's intermediates are *not* saved for
+  backward -- only the result is. This is what lets dozens of these run inside
+  a fully fused optimization step without blowing HBM.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["sqrtm_ns", "sqrtm_ns_lyap", "sqrtm_eig"]
+
+
+def _check_square(a):
+    if a.ndim < 2:
+        raise ValueError("expected a matrix or a batch of matrices")
+    if a.shape[-2] != a.shape[-1]:
+        raise ValueError(f"expected square matrices, got {a.shape[-2:]}")
+
+
+def _fro_norm(a):
+    return jnp.sqrt(jnp.sum(jnp.square(a), axis=(-2, -1), keepdims=True))
+
+
+def _mm(x, y):
+    # All sqrtm matmuls go through here. Precision.HIGHEST is load-bearing:
+    # TPU f32 matmuls default to reduced (bf16-pass) MXU precision, under
+    # which the Newton-Schulz iteration diverges on ill-conditioned input.
+    # These are small C x C matrices, so full f32 passes cost nothing
+    # relative to the conv trunk.
+    return jnp.matmul(
+        x, y, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+    )
+
+
+def sqrtm_ns(a, num_iters: int = 10):
+    """Principal square root of (a batch of) SPD matrices via Newton-Schulz.
+
+    The coupled iteration (Higham, "Functions of Matrices", ch. 6):
+        Y_0 = A / ||A||_F,  Z_0 = I
+        T_k = (3 I - Z_k Y_k) / 2
+        Y_{k+1} = Y_k T_k,  Z_{k+1} = T_k Z_k
+    converges with Y -> A^{1/2} / sqrt(||A||_F) when ||A/||A||_F - I|| < 1,
+    which holds for normalized SPD input.
+
+    Capability parity: reference sqrtm.py:9-25.
+    """
+    _check_square(a)
+    if num_iters < 0:
+        raise ValueError("num_iters must be non-negative")
+    n = a.shape[-1]
+    norm = _fro_norm(a)
+    eye = jnp.eye(n, dtype=a.dtype)
+    y0 = a / norm
+    z0 = jnp.broadcast_to(eye, a.shape)
+
+    def body(_, yz):
+        y, z = yz
+        t = (3.0 * eye - _mm(z, y)) * 0.5
+        return _mm(y, t), _mm(t, z)
+
+    y, _ = lax.fori_loop(0, num_iters, body, (y0, z0))
+    return y * jnp.sqrt(norm)
+
+
+def _lyap_backward(z, g, num_iters: int):
+    """Solve ``Z Q + Q Z = G`` for ``Q`` (then dA = Q where dZ = G).
+
+    Differentiating A = Z^2 gives dA-bar satisfying the Sylvester equation
+    Z^T Abar + Abar Z^T = Zbar. Instead of storing the forward NS iterates
+    and backpropagating through them, iterate the Lyapunov solver forward
+    in its own NS-normalized coordinates (public algorithm from
+    msubhransu/matrix-sqrt; reference uses the same scheme, sqrtm.py:36-47).
+    """
+    n = z.shape[-1]
+    norm = _fro_norm(z)
+    eye3 = 3.0 * jnp.eye(n, dtype=z.dtype)
+    a0 = z / norm
+    q0 = g / norm
+
+    def body(_, aq):
+        a, q = aq
+        at = jnp.swapaxes(a, -2, -1)
+        eye_aa = eye3 - _mm(a, a)
+        q_new = (_mm(q, eye_aa) - _mm(at, _mm(at, q) - _mm(q, a))) * 0.5
+        a_new = _mm(a, eye_aa) * 0.5
+        return a_new, q_new
+
+    _, q = lax.fori_loop(0, num_iters, body, (a0, q0))
+    return q * 0.5
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def sqrtm_ns_lyap(a, num_iters: int = 10, num_iters_backward: int = None):
+    """NS square root whose VJP solves the Lyapunov equation iteratively.
+
+    Saves only the forward *result* as the residual (O(C^2) memory instead of
+    O(num_iters * C^2)). Capability parity: reference sqrtm.py:28-55.
+    """
+    return sqrtm_ns(a, num_iters)
+
+
+def _sqrtm_fwd(a, num_iters, num_iters_backward):
+    z = sqrtm_ns(a, num_iters)
+    return z, z
+
+
+def _sqrtm_bwd(num_iters, num_iters_backward, z, g):
+    iters = num_iters if num_iters_backward is None else num_iters_backward
+    return (_lyap_backward(z, g, iters),)
+
+
+sqrtm_ns_lyap.defvjp(_sqrtm_fwd, _sqrtm_bwd)
+
+
+def _safe_sqrt_eigvals(vals):
+    return jnp.sqrt(jnp.abs(vals))
+
+
+@jax.custom_vjp
+def sqrtm_eig(a):
+    """Square root via eigendecomposition, with the analytic VJP.
+
+    For A = V diag(d) V^T, A^{1/2} = V diag(sqrt|d|) V^T and the adjoint is
+    Abar = V ((V^T Zbar V) / (s_i + s_j)) V^T with s = sqrt|d|.
+    Used mainly as a high-accuracy oracle in tests.
+    Capability parity: reference sqrtm.py:58-78.
+    """
+    vals, vecs = jnp.linalg.eigh(a)
+    s = _safe_sqrt_eigvals(vals)
+    return _mm(vecs * s[..., None, :], jnp.swapaxes(vecs, -2, -1))
+
+
+def _sqrtm_eig_fwd(a):
+    vals, vecs = jnp.linalg.eigh(a)
+    s = _safe_sqrt_eigvals(vals)
+    z = _mm(vecs * s[..., None, :], jnp.swapaxes(vecs, -2, -1))
+    return z, (s, vecs)
+
+
+def _sqrtm_eig_bwd(res, g):
+    s, vecs = res
+    vt = jnp.swapaxes(vecs, -2, -1)
+    denom = s[..., :, None] + s[..., None, :]
+    inner = _mm(vt, _mm(g, vecs)) / denom
+    return (_mm(vecs, _mm(inner, vt)),)
+
+
+sqrtm_eig.defvjp(_sqrtm_eig_fwd, _sqrtm_eig_bwd)

@@ -1,0 +1,62 @@
+"""Iteration telemetry: the STIterate record and trace accumulation.
+
+Parity with the reference's progress contract
+(``/root/reference/style_transfer/style_transfer.py:298-307`` and
+``cli.py:107-140``): one ``STIterate`` per optimization iteration with the
+image size, iteration counter, loss, wall time, and peak device memory; a
+``trace.json`` containing the run args plus all iterates is written at exit.
+
+TPU adaptation: ``gpu_ram`` is kept (field-name compatibility for trace
+consumers) and reports peak TPU HBM ``bytes_in_use`` from
+``device.memory_stats()`` when available.
+"""
+
+import json
+from dataclasses import asdict, dataclass
+
+__all__ = ["STIterate", "TraceRecorder", "peak_device_ram"]
+
+
+@dataclass
+class STIterate:
+    w: int
+    h: int
+    i: int
+    i_max: int
+    loss: float
+    time: float
+    gpu_ram: int
+
+
+def peak_device_ram(devices) -> int:
+    """Peak HBM bytes in use across the given JAX devices (0 if unsupported)."""
+    peak = 0
+    for d in devices:
+        try:
+            stats = d.memory_stats()
+        except Exception:
+            continue
+        if stats:
+            peak = max(peak, stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)))
+    return peak
+
+
+class TraceRecorder:
+    """Accumulates iterates; serializes to the reference's trace.json schema."""
+
+    def __init__(self, args=None):
+        self.args = args
+        self.iterates = []
+
+    def append(self, iterate: STIterate):
+        self.iterates.append(asdict(iterate))
+
+    def get_trace(self):
+        args = self.args
+        if args is not None and not isinstance(args, dict):
+            args = dict(args.__dict__)
+        return {"args": args, "iterates": self.iterates}
+
+    def write(self, path="trace.json"):
+        with open(path, "w") as fp:
+            json.dump(self.get_trace(), fp, indent=4)
