@@ -1,0 +1,241 @@
+"""Command-line interface.
+
+Flag-surface parity with the reference CLI
+(``/root/reference/style_transfer/cli.py:143-270``), including its
+single-source-of-truth trick: engine hyperparameter flags take their defaults
+and types from ``StyleTransfer.stylize``'s keyword defaults/annotations, so
+CLI and engine can never drift. TPU adaptations:
+
+* ``--devices`` selects *how many* TPU chips to shard over (``N`` or ``all``)
+  instead of CUDA device names — parallelism is SPMD spatial sharding, not
+  the reference's 2-GPU layer split;
+* new flags for TPU-native capabilities: ``--precision``, ``--style-loss``
+  (exposes the Gram mode the reference defines but never wires up),
+  ``--vgg-weights``, ``--remat``, ``--callback-chunk``.
+"""
+
+import argparse
+import atexit
+import json
+import sys
+import webbrowser
+from pathlib import Path
+
+from .io_color import load_image, print_error, save_image
+from .utils.scales import get_safe_scale
+from .utils.trace import TraceRecorder
+
+__doc_short__ = "Neural style transfer on TPU (JAX/XLA), W2/Gram losses over VGG-19."
+
+
+class Callback:
+    """Per-iteration progress: tqdm line, periodic saves, web events, trace.
+
+    Behavior parity with reference cli.py:107-140.
+    """
+
+    def __init__(self, st, args, image_type="pil", web_interface=None):
+        self.st = st
+        self.args = args
+        self.image_type = image_type
+        self.web_interface = web_interface
+        self.recorder = TraceRecorder(args)
+        self.progress = None
+
+    def __call__(self, iterate):
+        from tqdm import tqdm
+
+        self.recorder.append(iterate)
+        if iterate.i == 1:
+            self.progress = tqdm(total=iterate.i_max, dynamic_ncols=True)
+        msg = "Size: {}x{}, iteration: {}, loss: {:g}"
+        tqdm.write(msg.format(iterate.w, iterate.h, iterate.i, iterate.loss))
+        self.progress.update()
+        if self.web_interface is not None:
+            self.web_interface.put_iterate(iterate, self.st.get_image_tensor())
+        if iterate.i == iterate.i_max:
+            self.progress.close()
+            if max(iterate.w, iterate.h) != self.args.end_scale:
+                save_image(self.args.output, self.st.get_image(self.image_type))
+            elif self.web_interface is not None:
+                self.web_interface.put_done()
+        elif iterate.i % self.args.save_every == 0:
+            save_image(self.args.output, self.st.get_image(self.image_type))
+
+    def close(self):
+        if self.progress is not None:
+            self.progress.close()
+
+    def get_trace(self):
+        return self.recorder.get_trace()
+
+
+def build_parser(stylize_fn):
+    p = argparse.ArgumentParser(
+        description=__doc_short__,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+
+    defaults = stylize_fn.__kwdefaults__
+    types = stylize_fn.__annotations__
+
+    def arg_info(name):
+        return {"default": defaults[name], "type": types[name]}
+
+    p.add_argument("content", type=str, help="the content image")
+    p.add_argument("styles", type=str, nargs="+", metavar="style",
+                   help="the style images")
+    p.add_argument("--output", "-o", type=str, default="out.png",
+                   help="the output image")
+    p.add_argument("--style-weights", "-sw", type=float, nargs="+", default=None,
+                   metavar="STYLE_WEIGHT",
+                   help="the relative weights for each style image")
+    p.add_argument("--devices", type=str, default="1",
+                   help="number of TPU chips to shard over ('all' or an int)")
+    p.add_argument("--random-seed", "-r", type=int, default=0, help="the random seed")
+    p.add_argument("--content-weight", "-cw", **arg_info("content_weight"),
+                   help="the content weight")
+    p.add_argument("--tv-weight", "-tw", **arg_info("tv_weight"),
+                   help="the smoothing weight")
+    p.add_argument("--optimizer", **arg_info("optimizer"),
+                   choices=["adam", "lbfgs"], help="the optimizer to use")
+    p.add_argument("--min-scale", "-ms", **arg_info("min_scale"),
+                   help="the minimum scale (max image dim), in pixels")
+    p.add_argument("--end-scale", "-s", type=str, default="512",
+                   help="the final scale (max image dim), in pixels; append + "
+                        "to cap total pixels for non-square images")
+    p.add_argument("--iterations", "-i", **arg_info("iterations"),
+                   help="the number of iterations per scale")
+    p.add_argument("--initial-iterations", "-ii", **arg_info("initial_iterations"),
+                   help="the number of iterations on the first scale")
+    p.add_argument("--save-every", type=int, default=50,
+                   help="save the image every SAVE_EVERY iterations")
+    p.add_argument("--step-size", "-ss", **arg_info("step_size"),
+                   help="the step size (learning rate) for Adam")
+    p.add_argument("--avg-decay", "-ad", **arg_info("avg_decay"),
+                   help="the EMA decay rate for iterate averaging")
+    p.add_argument("--init", **arg_info("init"),
+                   choices=["content", "gray", "uniform", "normal", "style_stats"],
+                   help="the initial image")
+    p.add_argument("--style-scale-fac", **arg_info("style_scale_fac"),
+                   help="the relative scale of the style to the content")
+    p.add_argument("--style-size", **arg_info("style_size"),
+                   help="the fixed scale of the style at different content scales")
+    p.add_argument("--pooling", type=str, default="max",
+                   choices=["max", "average", "l2"], help="the model's pooling mode")
+    p.add_argument("--proof", type=str, default=None,
+                   help="the ICC color profile (CMYK) for soft proofing the "
+                        "content and styles")
+    p.add_argument("--web", default=False, action="store_true",
+                   help="enable the web interface")
+    p.add_argument("--host", type=str, default="0.0.0.0",
+                   help="the host the web interface binds to")
+    p.add_argument("--port", type=int, default=8080,
+                   help="the port the web interface binds to")
+    p.add_argument("--browser", type=str, default="", nargs="?",
+                   help="open a web browser (specify the browser if not "
+                        "system default)")
+    # --- TPU-native extensions -------------------------------------------
+    p.add_argument("--style-loss", type=str, default="w2", choices=["w2", "gram"],
+                   help="style objective: Wasserstein-2 or Gram matrix")
+    p.add_argument("--precision", type=str, default="auto",
+                   choices=["auto", "bf16", "f32"],
+                   help="VGG trunk precision (auto = bf16 on TPU, f32 on CPU)")
+    p.add_argument("--vgg-weights", type=str, default=None,
+                   help="path to VGG-19 weights (.npz native or torchvision .pth)")
+    p.add_argument("--remat", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="rematerialize the trunk in backward (memory vs compute)")
+    p.add_argument("--callback-chunk", type=int, default=50,
+                   help="iterations fused per device round-trip")
+    p.add_argument("--trace", type=str, default="trace.json",
+                   help="where to write the run trace")
+    return p
+
+
+def main(argv=None):
+    from .engine import StyleTransfer  # deferred: heavy jax import
+    from .web.server import WebInterface
+
+    p = build_parser(StyleTransfer.stylize)
+    args = p.parse_args(argv)
+
+    try:
+        content_img = load_image(args.content, args.proof)
+        style_imgs = [load_image(img, args.proof) for img in args.styles]
+    except OSError as err:
+        print_error(err)
+        sys.exit(1)
+
+    image_type = "pil"
+    if Path(args.output).suffix.lower() in {".tif", ".tiff"}:
+        image_type = "np_uint16"
+
+    import jax
+
+    all_devices = jax.devices()
+    if args.devices == "all":
+        n_devices = len(all_devices)
+    else:
+        n_devices = int(args.devices)
+        if not 1 <= n_devices <= len(all_devices):
+            print(f"Requested {n_devices} devices but {len(all_devices)} available.")
+            sys.exit(1)
+    devices = all_devices[:n_devices]
+    print("Using devices:", " ".join(str(d) for d in devices))
+
+    end_scale = int(str(args.end_scale).rstrip("+"))
+    if str(args.end_scale).endswith("+"):
+        end_scale = get_safe_scale(*content_img.size, end_scale)
+    args.end_scale = end_scale
+
+    web_interface = None
+    if args.web:
+        web_interface = WebInterface(args.host, args.port)
+        atexit.register(web_interface.close)
+
+    print("Loading model...")
+    remat = {"auto": None, "on": True, "off": False}[args.remat]
+    precision = {"auto": "auto", "bf16": "bfloat16", "f32": "float32"}[args.precision]
+    st = StyleTransfer(
+        devices=devices,
+        pooling=args.pooling,
+        weights=args.vgg_weights,
+        compute_dtype=precision,
+        style_loss=args.style_loss,
+        remat=remat,
+        callback_chunk=args.callback_chunk,
+    )
+    st.seed(args.random_seed)
+    print(f"VGG-19 weights: {st.weights_source}")
+
+    callback = Callback(st, args, image_type=image_type, web_interface=web_interface)
+    atexit.register(callback.close)
+
+    url = f"http://{args.host}:{args.port}/"
+    if args.web:
+        if args.browser:
+            webbrowser.get(args.browser).open(url)
+        elif args.browser is None:
+            webbrowser.open(url)
+
+    defaults = StyleTransfer.stylize.__kwdefaults__
+    st_kwargs = {k: v for k, v in args.__dict__.items() if k in defaults}
+    try:
+        st.stylize(content_img, style_imgs, **st_kwargs, callback=callback)
+    except KeyboardInterrupt:
+        pass
+
+    output_image = st.get_image(image_type)
+    if output_image is not None:
+        try:
+            save_image(args.output, output_image)
+        except (OSError, ValueError) as err:
+            print_error(err)
+            sys.exit(1)
+    with open(args.trace, "w") as fp:
+        json.dump(callback.get_trace(), fp, indent=4)
+
+
+if __name__ == "__main__":
+    main()

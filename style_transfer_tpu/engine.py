@@ -106,10 +106,12 @@ class StyleTransfer:
         enable_persistent_cache()
         self.mesh = make_mesh(self.devices) if len(self.devices) > 1 else None
 
-        if compute_dtype is None:
+        if compute_dtype in (None, "auto"):
             compute_dtype = (
                 "bfloat16" if self.devices[0].platform == "tpu" else None
             )
+        elif compute_dtype in ("float32", "f32"):
+            compute_dtype = None  # f32 trunk
         self.compute_dtype = compute_dtype
         self.pooling = pooling
         self.style_loss = style_loss

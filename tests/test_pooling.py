@@ -1,0 +1,64 @@
+"""Pooling variants vs PyTorch ground truth (torch CPU is available for
+cross-checking semantics; torchvision is not required)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from style_transfer_tpu.ops.pooling import POOLING_SCALES, pool2x2, replicate_pad2d, safe_sqrt
+
+
+def nhwc_to_nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (7, 9), (5, 5)])
+def test_max_pool_matches_torch(hw):
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, *hw, 3).astype(np.float32)
+    ours = np.asarray(pool2x2(jnp.asarray(x), "max"))
+    theirs = torch.nn.MaxPool2d(2)(torch.from_numpy(nhwc_to_nchw(x))).numpy()
+    np.testing.assert_allclose(ours, np.transpose(theirs, (0, 2, 3, 1)), rtol=1e-6)
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (7, 9)])
+def test_avg_pool_matches_torch(hw):
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, *hw, 3).astype(np.float32)
+    ours = np.asarray(pool2x2(jnp.asarray(x), "average"))
+    theirs = torch.nn.AvgPool2d(2)(torch.from_numpy(nhwc_to_nchw(x))).numpy()
+    np.testing.assert_allclose(ours, np.transpose(theirs, (0, 2, 3, 1)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (7, 9)])
+def test_l2_pool_matches_torch_lppool(hw):
+    # LPPool2d(2, 2) = sqrt of the *sum* (not mean) of squares over the window.
+    rng = np.random.RandomState(2)
+    x = np.abs(rng.randn(1, *hw, 3)).astype(np.float32)  # post-ReLU domain
+    ours = np.asarray(pool2x2(jnp.asarray(x), "l2"))
+    theirs = torch.nn.LPPool2d(2, 2)(torch.from_numpy(nhwc_to_nchw(x))).numpy()
+    np.testing.assert_allclose(
+        ours, np.transpose(theirs, (0, 2, 3, 1)), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_pooling_scales_reference_values():
+    assert POOLING_SCALES == {"max": 1.0, "average": 2.0, "l2": 0.78}
+
+
+def test_safe_sqrt_grad_finite_at_zero():
+    g = jax.grad(lambda v: jnp.sum(safe_sqrt(v)))(jnp.zeros((4,)))
+    assert np.all(np.asarray(g) == 0.0)
+    g1 = jax.grad(lambda v: jnp.sum(safe_sqrt(v)))(jnp.full((4,), 4.0))
+    np.testing.assert_allclose(np.asarray(g1), 0.25, rtol=1e-6)
+
+
+def test_replicate_pad_matches_torch():
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 5, 6, 3).astype(np.float32)
+    ours = np.asarray(replicate_pad2d(jnp.asarray(x), 1))
+    theirs = F.pad(torch.from_numpy(nhwc_to_nchw(x)), (1, 1, 1, 1), "replicate").numpy()
+    np.testing.assert_allclose(ours, np.transpose(theirs, (0, 2, 3, 1)), rtol=1e-6)
