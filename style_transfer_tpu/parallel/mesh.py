@@ -74,9 +74,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_image(x, mesh: Optional[Mesh]):
+    """Place an NHWC image onto the mesh, sharded spatially when possible.
+
+    ``device_put`` requires dims divisible by the mesh factors; for the
+    arbitrary sizes a scale pyramid produces, fall back to replicated
+    placement — the ``with_sharding_constraint`` inside the jitted step
+    redistributes (XLA pads uneven shards internally)."""
     if mesh is None or math.prod(mesh.shape.values()) == 1:
         return x
-    return jax.device_put(x, image_sharding(mesh))
+    h, w = x.shape[1], x.shape[2]
+    if h % mesh.shape.get("sph", 1) == 0 and w % mesh.shape.get("spw", 1) == 0:
+        return jax.device_put(x, image_sharding(mesh))
+    return jax.device_put(x, replicated(mesh))
 
 
 def constrain_image(x, mesh: Optional[Mesh]):

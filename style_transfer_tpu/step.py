@@ -173,7 +173,9 @@ def make_lbfgs_runner(cfg: StepConfig, mesh=None):
     def init(image, params, consts):
         return opt.init(image)
 
-    @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(2,))
+    # No donation here: the optax L-BFGS state aliases the params buffer at
+    # init, and donating the same buffer twice is an XLA error.
+    @partial(jax.jit, static_argnames=("n_steps",))
     def run(params, consts, state: LoopState, n_steps: int):
         def value_fn(img):
             return loss_fn(img, params, consts)

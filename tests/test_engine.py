@@ -1,0 +1,145 @@
+"""Engine integration (SURVEY.md §4.3): pyramid loop, determinism, init
+modes, warm start, callback contract, alternate loss/pooling/optimizer."""
+
+import numpy as np
+import pytest
+
+from style_transfer_tpu.engine import StyleTransfer, _trunc_normal
+from style_transfer_tpu.models.weights import random_params
+from style_transfer_tpu.utils.trace import STIterate
+
+PARAMS = random_params(0)
+
+
+def make_engine(**kw):
+    kw.setdefault("devices", 1)
+    kw.setdefault("weights", PARAMS)
+    kw.setdefault("callback_chunk", 10)
+    return StyleTransfer(**kw)
+
+
+def test_full_pyramid_loss_decreases(content_pil, style_pil):
+    st = make_engine()
+    its = []
+    img = st.stylize(
+        content_pil, [style_pil], min_scale=64, end_scale=96,
+        iterations=20, initial_iterations=20,
+        callback=its.append,
+    )
+    assert len(its) == 40
+    assert isinstance(its[0], STIterate)
+    s1 = [i.loss for i in its if (i.w, i.h) != (96, 72)]
+    s2 = [i.loss for i in its if (i.w, i.h) == (96, 72)]
+    assert s1[-1] < s1[0] and s2[-1] < s2[0]
+    assert img.size == (96, 72)
+    # i / i_max contract
+    assert [i.i for i in its[:20]] == list(range(1, 21))
+    assert all(i.i_max == 20 for i in its)
+
+
+def test_deterministic_given_seed(content_pil, style_pil):
+    outs = []
+    for _ in range(2):
+        st = make_engine()
+        st.seed(123)
+        img = st.stylize(
+            content_pil, [style_pil], min_scale=64, end_scale=64,
+            iterations=10, initial_iterations=10, init="uniform",
+        )
+        outs.append(np.asarray(img))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+@pytest.mark.parametrize("init", ["content", "gray", "uniform", "normal", "style_stats"])
+def test_init_modes(init, content_pil, style_pil):
+    st = make_engine()
+    img = st._init_image(init, content_pil, [style_pil], [1.0], (48, 64))
+    arr = np.asarray(img)
+    assert arr.shape == (1, 48, 64, 3)
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+    if init == "gray":
+        assert 0.45 < arr.mean() < 0.55 and arr.std() < 0.01
+
+
+def test_init_invalid(content_pil, style_pil):
+    st = make_engine()
+    with pytest.raises(ValueError, match="init must be"):
+        st._init_image("bogus", content_pil, [style_pil], [1.0], (48, 64))
+
+
+def test_multiple_styles_blending(content_pil, style_pil, rng):
+    from PIL import Image
+
+    style2 = Image.fromarray(
+        np.random.RandomState(9).randint(0, 255, (70, 90, 3)).astype(np.uint8)
+    )
+    st = make_engine()
+    its = []
+    st.stylize(
+        content_pil, [style_pil, style2], style_weights=[3.0, 1.0],
+        min_scale=64, end_scale=64, iterations=10, initial_iterations=10,
+        callback=its.append,
+    )
+    assert its[-1].loss < its[0].loss
+
+
+def test_style_weights_length_mismatch(content_pil, style_pil):
+    st = make_engine()
+    with pytest.raises(ValueError, match="same length"):
+        st.stylize(content_pil, [style_pil], style_weights=[1.0, 2.0],
+                   min_scale=64, end_scale=64, iterations=1, initial_iterations=1)
+
+
+def test_gram_mode(content_pil, style_pil):
+    st = make_engine(style_loss="gram")
+    its = []
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               iterations=15, initial_iterations=15, callback=its.append)
+    assert its[-1].loss < its[0].loss
+
+
+@pytest.mark.parametrize("pooling", ["average", "l2"])
+def test_pooling_modes(pooling, content_pil, style_pil):
+    st = make_engine(pooling=pooling, callback_chunk=5)
+    its = []
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               iterations=10, initial_iterations=10, callback=its.append)
+    assert np.isfinite([i.loss for i in its]).all()
+
+
+def test_lbfgs(content_pil, style_pil):
+    st = make_engine(callback_chunk=5)
+    its = []
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               optimizer="lbfgs", iterations=10, initial_iterations=10,
+               callback=its.append)
+    assert its[-1].loss < its[0].loss
+
+
+def test_get_image_np_uint16(content_pil, style_pil):
+    st = make_engine()
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               iterations=5, initial_iterations=5)
+    arr = st.get_image("np_uint16")
+    assert arr.dtype == np.uint16
+    assert arr.shape == (48, 64, 3)
+    with pytest.raises(ValueError):
+        st.get_image("bogus")
+
+
+def test_style_size_and_scale_fac(content_pil, style_pil):
+    st = make_engine()
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               iterations=3, initial_iterations=3, style_scale_fac=0.9)
+    st2 = make_engine()
+    st2.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+                iterations=3, initial_iterations=3, style_size=72)
+
+
+def test_trunc_normal_bounds():
+    r = np.random.RandomState(0)
+    x = _trunc_normal(r, (1000,), 0.5, 0.25)
+    assert x.min() >= 0.0 and x.max() <= 1.0
+    assert abs(x.mean() - 0.5) < 0.05
+    y = _trunc_normal(r, (10,), 0.5, 0.0)
+    assert np.all(y == 0.5)
