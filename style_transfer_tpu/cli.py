@@ -150,6 +150,10 @@ def build_parser(stylize_fn):
                    help="iterations fused per device round-trip")
     p.add_argument("--trace", type=str, default="trace.json",
                    help="where to write the run trace")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="path to write full optimization-state checkpoints")
+    p.add_argument("--resume", default=False, action="store_true",
+                   help="resume from --checkpoint if it exists")
     return p
 
 

@@ -18,6 +18,7 @@ Architecture differences (TPU-first, not a port):
 
 import math
 import time
+from pathlib import Path
 from typing import Optional, Sequence
 
 import jax
@@ -37,7 +38,8 @@ from .step import (
     make_adam_runner,
     make_lbfgs_runner,
 )
-from .utils.ema import ema_get, ema_init
+from .utils.checkpoint import load_checkpoint, save_checkpoint
+from .utils.ema import EMAState, ema_get, ema_init
 from .utils.jaxcache import enable_persistent_cache
 from .utils.scales import gen_scales, size_to_fit
 from .utils.trace import STIterate, peak_device_ram
@@ -308,6 +310,8 @@ class StyleTransfer:
         style_scale_fac: float = 1.0,
         style_size: int = None,
         callback=None,
+        checkpoint: str = None,
+        resume: bool = False,
     ):
         min_scale = min(min_scale, end_scale)
         content_weights = [content_weight / len(self.content_layers)] * len(
@@ -324,20 +328,40 @@ class StyleTransfer:
 
         scales = gen_scales(min_scale, end_scale)
 
-        cw, ch = size_to_fit(content_image.size, scales[0], scale_up=True)
-        self.image = self._init_image(
-            init, content_image, style_images, style_weights, (ch, cw)
-        )
+        resume_state = None
+        start_scale_idx = 0
+        if resume and checkpoint and Path(checkpoint).is_file():
+            resume_state = load_checkpoint(checkpoint)
+            start_scale_idx = resume_state["scale_index"]
+            print(
+                f"Resuming from {checkpoint}: scale {start_scale_idx + 1}/"
+                f"{len(scales)}, iteration {resume_state['done_iters']}"
+            )
+            self.image = jnp.asarray(resume_state["image"])
+        else:
+            cw, ch = size_to_fit(content_image.size, scales[0], scale_up=True)
+            self.image = self._init_image(
+                init, content_image, style_images, style_weights, (ch, cw)
+            )
         self.image = shard_image(self.image, self.mesh)
 
         opt_state = None
-        for scale in scales:
+        for scale_idx, scale in enumerate(scales):
+            if scale_idx < start_scale_idx:
+                continue
+            resuming_here = resume_state is not None and scale_idx == start_scale_idx
             cw, ch = size_to_fit(content_image.size, scale, scale_up=True)
             content = jnp.asarray(_pil_to_nhwc(content_image, (cw, ch)))
 
-            self.image = jnp.clip(_resize_image(self.image, (ch, cw)), 0.0, 1.0)
-            self.image = shard_image(self.image, self.mesh)
-            self.average = ema_init(self.image, avg_decay)
+            if resuming_here:
+                self.average = EMAState(
+                    value=jnp.asarray(resume_state["ema_value"]),
+                    accum=jnp.asarray(resume_state["ema_accum"]),
+                )
+            else:
+                self.image = jnp.clip(_resize_image(self.image, (ch, cw)), 0.0, 1.0)
+                self.image = shard_image(self.image, self.mesh)
+                self.average = ema_init(self.image, avg_decay)
 
             cfg = StepConfig(
                 content_layers=tuple(self.content_layers),
@@ -361,7 +385,13 @@ class StyleTransfer:
 
             if optimizer == "adam":
                 runner = self._get_runner(cfg, "adam")
-                if opt_state is None:
+                if resuming_here:
+                    opt_state = AdamState(
+                        mu=jnp.asarray(resume_state["adam_mu"]),
+                        nu=jnp.asarray(resume_state["adam_nu"]),
+                        count=jnp.asarray(resume_state["adam_count"]),
+                    )
+                elif opt_state is None:
                     opt_state = adam_init(self.image)
                 else:
                     opt_state = _scale_adam(opt_state, (ch, cw))
@@ -377,7 +407,7 @@ class StyleTransfer:
                 raise ValueError("optimizer must be one of 'adam', 'lbfgs'")
 
             actual_its = initial_iterations if scale == scales[0] else iterations
-            done = 0
+            done = min(resume_state["done_iters"], actual_its) if resuming_here else 0
             t_prev = time.time()
             while done < actual_its:
                 n = min(self.callback_chunk, actual_its - done)
@@ -386,6 +416,18 @@ class StyleTransfer:
                 # Publish state so callbacks (saves, web preview) see progress.
                 self.image, self.average = state.image, state.ema
                 t_now = time.time()
+                # Persist BEFORE callbacks so an interrupt raised by a
+                # callback still leaves a resumable checkpoint.
+                if checkpoint is not None and optimizer == "adam":
+                    save_checkpoint(
+                        checkpoint,
+                        image=jax.device_get(state.image),
+                        adam=jax.device_get(state.opt),
+                        ema=jax.device_get(state.ema),
+                        scale_index=scale_idx,
+                        done_iters=done + n,
+                        meta={"w": cw, "h": ch, "scale": scale},
+                    )
                 if callback is not None:
                     ram = peak_device_ram(self.devices)
                     for k in range(n):

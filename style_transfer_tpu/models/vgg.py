@@ -13,8 +13,9 @@ Behavioral parity:
 * ImageNet normalization of sRGB [0,1] inputs (ref :30-31);
 * first conv uses replicate padding to reduce edge artifacts (ref :38-39);
 * max/average/L2 pooling with activation rescale {1, 2, 0.78} (ref :21-22,41-46);
-* the raw (pre-normalization) input rides along as ``feats['input']`` so the
-  TV loss sees pixels (ref :84);
+* the raw (pre-normalization) input rides along as ``feats[INPUT]`` (key -1,
+  an int so the feats dict is a sortable pytree under jit/checkpoint) so the
+  TV loss sees raw pixels (ref :84);
 * minimum-input-size guard of 2^(#pools <= last tapped layer) (ref :61-69,80-83).
 """
 
@@ -28,12 +29,16 @@ from ..ops.pooling import POOLING_SCALES, pool2x2, replicate_pad2d
 from .weights import CONV_INDICES, POOL_INDICES
 
 __all__ = [
+    "INPUT",
     "IMAGENET_MEAN",
     "IMAGENET_STD",
     "min_input_size",
     "normalize",
     "extract_features",
 ]
+
+# Key for the raw (pre-normalization) input image in the feats dict.
+INPUT = -1
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -98,7 +103,7 @@ def extract_features(
         throughput). Parameters stay f32; accumulation is pinned to f32.
 
     Returns:
-      dict mapping ``'input'`` -> the raw image and each tapped index -> its
+      dict mapping ``INPUT`` (-1) -> the raw image and each tapped index -> its
       activation (in compute dtype; losses upcast to f32 internally).
     """
     layers = sorted(set(int(l) for l in layers))
@@ -109,7 +114,7 @@ def extract_features(
         raise ValueError(f"Input is {h}x{w} but must be at least {mins}x{mins}")
 
     pool_scale = POOLING_SCALES[pooling]
-    feats = {"input": image}
+    feats = {INPUT: image}
     x = normalize(image)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

@@ -25,7 +25,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .models.vgg import extract_features
+from .models.vgg import INPUT, extract_features
 from .ops import losses as L
 from .parallel.mesh import constrain_image
 from .utils.ema import EMAState, ema_update
@@ -107,7 +107,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 total += w * L.gram_loss(feats[layer], consts["style"][layer])
             else:
                 raise ValueError(f"unknown style_loss {cfg.style_loss!r}")
-        total += cfg.tv_weight * L.tv_loss(feats["input"])
+        total += cfg.tv_weight * L.tv_loss(feats[INPUT])
         return total
 
     return loss_fn

@@ -9,7 +9,7 @@ import pytest
 import torch
 from torch import nn
 
-from style_transfer_tpu.models.vgg import extract_features, min_input_size
+from style_transfer_tpu.models.vgg import INPUT, extract_features, min_input_size
 from style_transfer_tpu.models.weights import CONV_INDICES, POOL_INDICES, random_params
 
 
@@ -92,7 +92,7 @@ def test_feature_parity_with_torch(params_np, image, pooling):
 def test_input_tap_is_raw(params_np, image):
     params = {k: jnp.asarray(v) for k, v in params_np.items()}
     feats = extract_features(params, jnp.asarray(image), [1])
-    np.testing.assert_array_equal(np.asarray(feats["input"]), image)
+    np.testing.assert_array_equal(np.asarray(feats[INPUT]), image)
 
 
 def test_min_input_size_values():
