@@ -78,7 +78,7 @@ def gram_matrix(feats):
     mat = feats.reshape(n, h * w, c)
     g = jnp.einsum(
         "npc,npd->ncd", mat, mat,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
         preferred_element_type=jnp.float32,
     )
     return g / jnp.asarray(h * w, jnp.float32)
@@ -107,7 +107,7 @@ def w2_moments(feats):
     mat = feats.reshape(n, h * w, c)
     srm = jnp.einsum(
         "npc,npd->ncd", mat, mat,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
         preferred_element_type=jnp.float32,
     ) / jnp.asarray(h * w, jnp.float32)
     return mean, srm
@@ -136,7 +136,7 @@ def w2_loss(feats, target: W2Target, eps: float = 1e-4, sqrtm_iters: int = 12):
     mean, srm = w2_moments(feats)
     cov = _srm_to_cov(mean, srm) + _eye_like(srm) * eps
     mean_diff = jnp.mean(jnp.square(mean - target.mean))
-    hi = jax.lax.Precision.HIGHEST
+    hi = jax.lax.Precision.HIGH
     inner = jnp.matmul(
         target.cov_sqrt,
         jnp.matmul(cov, target.cov_sqrt, precision=hi,
@@ -149,6 +149,37 @@ def w2_loss(feats, target: W2Target, eps: float = 1e-4, sqrtm_iters: int = 12):
         jnp.diagonal(target.cov + cov - 2.0 * sqrt_term, axis1=-2, axis2=-1)
     )
     return mean_diff + cov_diff
+
+
+def w2_losses_batched(means, covs, target: W2Target, sqrtm_iters: int = 12):
+    """Per-element W2 losses for a stacked group of layers with equal C.
+
+    Args: means (G, C); covs (G, C, C) already +eps*I; target fields stacked
+    along G. Batching the group means the Newton-Schulz loops run as one
+    batched matmul chain on the MXU instead of G sequential ones.
+    Returns (G,) losses.
+    """
+    hi = jax.lax.Precision.HIGH
+    mean_diff = jnp.mean(jnp.square(means - target.mean), axis=-1)
+    inner = jnp.matmul(
+        target.cov_sqrt,
+        jnp.matmul(covs, target.cov_sqrt, precision=hi,
+                   preferred_element_type=jnp.float32),
+        precision=hi,
+        preferred_element_type=jnp.float32,
+    )
+    sqrt_term = sqrtm_ns_lyap(inner, sqrtm_iters)
+    cov_diff = jnp.mean(
+        jnp.diagonal(target.cov + covs - 2.0 * sqrt_term, axis1=-2, axis2=-1),
+        axis=-1,
+    )
+    return mean_diff + cov_diff
+
+
+def moments_to_cov(mean, srm, eps: float = 1e-4):
+    """(mean, srm) -> covariance + eps*I (shared by loss and target paths)."""
+    cov = _srm_to_cov(mean, srm)
+    return cov + _eye_like(cov) * eps
 
 
 def tv_loss(image):

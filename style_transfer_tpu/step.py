@@ -92,21 +92,47 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
     if cfg.remat:
         features = jax.checkpoint(features)
 
+    def w2_total(feats, consts):
+        """W2 style terms, grouped by channel count so same-C layers run
+        their Newton-Schulz chains as one batched matmul sequence."""
+        groups = {}
+        for layer, w in zip(cfg.style_layers, cfg.style_layer_weights):
+            c = consts["style"][layer].mean.shape[-1]
+            groups.setdefault(c, []).append((layer, w))
+        total = jnp.asarray(0.0, jnp.float32)
+        for c, items in groups.items():
+            means, covs, t_mean, t_cov, t_cs, weights = [], [], [], [], [], []
+            for layer, w in items:
+                mean, srm = L.w2_moments(feats[layer])
+                means.append(mean[0])
+                covs.append(L.moments_to_cov(mean, srm, cfg.w2_eps)[0])
+                tgt = consts["style"][layer]
+                t_mean.append(tgt.mean[0])
+                t_cov.append(tgt.cov[0])
+                t_cs.append(tgt.cov_sqrt[0])
+                weights.append(w)
+            target = L.W2Target(
+                mean=jnp.stack(t_mean), cov=jnp.stack(t_cov), cov_sqrt=jnp.stack(t_cs)
+            )
+            losses = L.w2_losses_batched(
+                jnp.stack(means), jnp.stack(covs), target, cfg.sqrtm_iters
+            )
+            total += jnp.sum(losses * jnp.asarray(weights, jnp.float32))
+        return total
+
     def loss_fn(image, params, consts):
         image = constrain_image(image, mesh)
         feats = features(params, image)
         total = jnp.asarray(0.0, jnp.float32)
         for layer, w in zip(cfg.content_layers, cfg.content_weights):
             total += w * L.content_mse(feats[layer], consts["content"][layer])
-        for layer, w in zip(cfg.style_layers, cfg.style_layer_weights):
-            if cfg.style_loss == "w2":
-                total += w * L.w2_loss(
-                    feats[layer], consts["style"][layer], cfg.w2_eps, cfg.sqrtm_iters
-                )
-            elif cfg.style_loss == "gram":
+        if cfg.style_loss == "w2":
+            total += w2_total(feats, consts)
+        elif cfg.style_loss == "gram":
+            for layer, w in zip(cfg.style_layers, cfg.style_layer_weights):
                 total += w * L.gram_loss(feats[layer], consts["style"][layer])
-            else:
-                raise ValueError(f"unknown style_loss {cfg.style_loss!r}")
+        else:
+            raise ValueError(f"unknown style_loss {cfg.style_loss!r}")
         total += cfg.tv_weight * L.tv_loss(feats[INPUT])
         return total
 
