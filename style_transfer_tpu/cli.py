@@ -138,6 +138,10 @@ def build_parser(stylize_fn):
     # --- TPU-native extensions -------------------------------------------
     p.add_argument("--style-loss", type=str, default="w2", choices=["w2", "gram"],
                    help="style objective: Wasserstein-2 or Gram matrix")
+    p.add_argument("--content-loss", type=str, default="mse",
+                   choices=["mse", "scaled"],
+                   help="content objective: plain MSE (reference default) or "
+                        "gradient-normalized ScaledMSE")
     p.add_argument("--precision", type=str, default="auto",
                    choices=["auto", "bf16", "f32"],
                    help="VGG trunk precision (auto = bf16 on TPU, f32 on CPU)")
@@ -150,6 +154,8 @@ def build_parser(stylize_fn):
                    help="iterations fused per device round-trip")
     p.add_argument("--trace", type=str, default="trace.json",
                    help="where to write the run trace")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="path to write full optimization-state checkpoints")
     p.add_argument("--resume", default=False, action="store_true",
@@ -207,6 +213,7 @@ def main(argv=None):
         weights=args.vgg_weights,
         compute_dtype=precision,
         style_loss=args.style_loss,
+        content_loss=args.content_loss,
         remat=remat,
         callback_chunk=args.callback_chunk,
     )
@@ -225,8 +232,14 @@ def main(argv=None):
 
     defaults = StyleTransfer.stylize.__kwdefaults__
     st_kwargs = {k: v for k, v in args.__dict__.items() if k in defaults}
+    import contextlib
+
+    profile_cm = (
+        jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
+    )
     try:
-        st.stylize(content_img, style_imgs, **st_kwargs, callback=callback)
+        with profile_cm:
+            st.stylize(content_img, style_imgs, **st_kwargs, callback=callback)
     except KeyboardInterrupt:
         pass
 

@@ -94,6 +94,7 @@ class StyleTransfer:
         weights=None,
         compute_dtype: Optional[str] = None,
         style_loss: str = "w2",
+        content_loss: str = "mse",
         remat: Optional[bool] = None,
         callback_chunk: int = 50,
     ):
@@ -117,6 +118,7 @@ class StyleTransfer:
         self.compute_dtype = compute_dtype
         self.pooling = pooling
         self.style_loss = style_loss
+        self.content_loss = content_loss
         self.remat = remat
         self.callback_chunk = int(callback_chunk)
 
@@ -165,6 +167,21 @@ class StyleTransfer:
         if image_type.lower() == "np_uint16":
             return np.uint16(np.round(arr * 65535.0))
         raise ValueError("image_type must be 'pil' or 'np_uint16'")
+
+    def loss_terms(self):
+        """Per-term weighted losses of the current iterate (diagnostic;
+        reference SumLoss(verbose=True) parity). Returns {name: float}."""
+        if self.image is None or getattr(self, "_last_cfg", None) is None:
+            return None
+        from .step import build_loss_terms_fn
+
+        key = ("terms", self._last_cfg)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(
+                build_loss_terms_fn(self._last_cfg, self.mesh)
+            )
+        out = self._fn_cache[key](self.image, self.params, self._last_consts)
+        return {k: float(v) for k, v in jax.device_get(out).items()}
 
     # ------------------------------------------------------------ internals
 
@@ -370,6 +387,7 @@ class StyleTransfer:
                 style_layer_weights=tuple(self.style_layer_weights),
                 tv_weight=tv_weight,
                 style_loss=self.style_loss,
+                content_loss=self.content_loss,
                 pooling=self.pooling,
                 compute_dtype=self.compute_dtype,
                 step_size=step_size,
@@ -382,6 +400,7 @@ class StyleTransfer:
                 content, style_images, style_weights, scale,
                 style_scale_fac, style_size, cfg,
             )
+            self._last_cfg, self._last_consts = cfg, consts
 
             if optimizer == "adam":
                 runner = self._get_runner(cfg, "adam")

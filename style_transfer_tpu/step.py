@@ -45,6 +45,7 @@ class StepConfig:
     )
     tv_weight: float = 2.0
     style_loss: str = "w2"  # 'w2' | 'gram'
+    content_loss: str = "mse"  # 'mse' | 'scaled' (ref defines both, :109-126)
     pooling: str = "max"
     compute_dtype: Optional[str] = "bfloat16"  # None => f32 trunk
     step_size: float = 0.02
@@ -123,9 +124,10 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
     def loss_fn(image, params, consts):
         image = constrain_image(image, mesh)
         feats = features(params, image)
+        content_fn = L.content_mse if cfg.content_loss == "mse" else L.content_scaled
         total = jnp.asarray(0.0, jnp.float32)
         for layer, w in zip(cfg.content_layers, cfg.content_weights):
-            total += w * L.content_mse(feats[layer], consts["content"][layer])
+            total += w * content_fn(feats[layer], consts["content"][layer])
         if cfg.style_loss == "w2":
             total += w2_total(feats, consts)
         elif cfg.style_loss == "gram":
@@ -137,6 +139,44 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
         return total
 
     return loss_fn
+
+
+def build_loss_terms_fn(cfg: StepConfig, mesh=None):
+    """Per-term loss diagnostic: returns ``terms(image, params, consts) ->
+    {name: scalar}`` with each weighted objective component separately.
+
+    Capability parity with the reference's ``SumLoss(verbose=True)`` per-term
+    printing (ref :205-207 — defined there but never enabled); here it is a
+    separate pure function so the hot step never pays for it.
+    """
+
+    def features(params, image):
+        return extract_features(
+            params, image, cfg.all_layers, pooling=cfg.pooling, compute_dtype=cfg.dtype
+        )
+
+    def terms(image, params, consts):
+        image = constrain_image(image, mesh)
+        feats = features(params, image)
+        out = {}
+        content_fn = L.content_mse if cfg.content_loss == "mse" else L.content_scaled
+        for layer, w in zip(cfg.content_layers, cfg.content_weights):
+            out[f"content_{layer}"] = w * content_fn(
+                feats[layer], consts["content"][layer]
+            )
+        for layer, w in zip(cfg.style_layers, cfg.style_layer_weights):
+            if cfg.style_loss == "w2":
+                out[f"style_w2_{layer}"] = w * L.w2_loss(
+                    feats[layer], consts["style"][layer], cfg.w2_eps, cfg.sqrtm_iters
+                )
+            else:
+                out[f"style_gram_{layer}"] = w * L.gram_loss(
+                    feats[layer], consts["style"][layer]
+                )
+        out["tv"] = cfg.tv_weight * L.tv_loss(feats[INPUT])
+        return out
+
+    return terms
 
 
 def adam_init(image) -> AdamState:

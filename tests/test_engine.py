@@ -143,3 +143,22 @@ def test_trunc_normal_bounds():
     assert abs(x.mean() - 0.5) < 0.05
     y = _trunc_normal(r, (10,), 0.5, 0.0)
     assert np.all(y == 0.5)
+
+
+def test_content_loss_scaled_mode(content_pil, style_pil):
+    st = make_engine(content_loss="scaled", callback_chunk=5)
+    its = []
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               iterations=10, initial_iterations=10, callback=its.append)
+    assert np.isfinite([i.loss for i in its]).all()
+
+
+def test_loss_terms_breakdown(content_pil, style_pil):
+    st = make_engine()
+    assert st.loss_terms() is None  # before any run
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               iterations=5, initial_iterations=5)
+    terms = st.loss_terms()
+    assert set(terms) == {"content_22", "style_w2_1", "style_w2_6",
+                          "style_w2_11", "style_w2_20", "style_w2_29", "tv"}
+    assert all(np.isfinite(v) for v in terms.values())
