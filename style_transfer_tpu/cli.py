@@ -147,6 +147,10 @@ def build_parser(stylize_fn):
                    help="VGG trunk precision (auto = bf16 on TPU, f32 on CPU)")
     p.add_argument("--vgg-weights", type=str, default=None,
                    help="path to VGG-19 weights (.npz native or torchvision .pth)")
+    p.add_argument("--sqrtm", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="matrix-sqrt implementation (pallas = fused "
+                        "VMEM-resident Newton-Schulz kernel, TPU only)")
     p.add_argument("--remat", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="rematerialize the trunk in backward (memory vs compute)")
@@ -214,6 +218,7 @@ def main(argv=None):
         compute_dtype=precision,
         style_loss=args.style_loss,
         content_loss=args.content_loss,
+        sqrtm_impl=args.sqrtm,
         remat=remat,
         callback_chunk=args.callback_chunk,
     )

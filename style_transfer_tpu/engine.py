@@ -95,6 +95,7 @@ class StyleTransfer:
         compute_dtype: Optional[str] = None,
         style_loss: str = "w2",
         content_loss: str = "mse",
+        sqrtm_impl: str = "auto",
         remat: Optional[bool] = None,
         callback_chunk: int = 50,
     ):
@@ -119,6 +120,9 @@ class StyleTransfer:
         self.pooling = pooling
         self.style_loss = style_loss
         self.content_loss = content_loss
+        if sqrtm_impl == "auto":
+            sqrtm_impl = "pallas" if self.devices[0].platform == "tpu" else "xla"
+        self.sqrtm_impl = sqrtm_impl
         self.remat = remat
         self.callback_chunk = int(callback_chunk)
 
@@ -388,6 +392,7 @@ class StyleTransfer:
                 tv_weight=tv_weight,
                 style_loss=self.style_loss,
                 content_loss=self.content_loss,
+                sqrtm_impl=self.sqrtm_impl,
                 pooling=self.pooling,
                 compute_dtype=self.compute_dtype,
                 step_size=step_size,

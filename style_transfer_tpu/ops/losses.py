@@ -151,7 +151,8 @@ def w2_loss(feats, target: W2Target, eps: float = 1e-4, sqrtm_iters: int = 12):
     return mean_diff + cov_diff
 
 
-def w2_losses_batched(means, covs, target: W2Target, sqrtm_iters: int = 12):
+def w2_losses_batched(means, covs, target: W2Target, sqrtm_iters: int = 12,
+                      sqrtm_fn=None):
     """Per-element W2 losses for a stacked group of layers with equal C.
 
     Args: means (G, C); covs (G, C, C) already +eps*I; target fields stacked
@@ -168,7 +169,7 @@ def w2_losses_batched(means, covs, target: W2Target, sqrtm_iters: int = 12):
         precision=hi,
         preferred_element_type=jnp.float32,
     )
-    sqrt_term = sqrtm_ns_lyap(inner, sqrtm_iters)
+    sqrt_term = (sqrtm_fn or sqrtm_ns_lyap)(inner, sqrtm_iters)
     cov_diff = jnp.mean(
         jnp.diagonal(target.cov + covs - 2.0 * sqrt_term, axis1=-2, axis2=-1),
         axis=-1,

@@ -55,6 +55,7 @@ class StepConfig:
     avg_decay: float = 0.99
     w2_eps: float = 1e-4
     sqrtm_iters: int = 12
+    sqrtm_impl: str = "xla"  # 'xla' | 'pallas' (fused VMEM-resident NS chain)
     remat: bool = False
 
     @property
@@ -100,6 +101,10 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
         for layer, w in zip(cfg.style_layers, cfg.style_layer_weights):
             c = consts["style"][layer].mean.shape[-1]
             groups.setdefault(c, []).append((layer, w))
+        if cfg.sqrtm_impl == "pallas":
+            from .ops.pallas.ns_sqrtm import sqrtm_ns_lyap_pallas as sqrtm_fn
+        else:
+            sqrtm_fn = None
         total = jnp.asarray(0.0, jnp.float32)
         for c, items in groups.items():
             means, covs, t_mean, t_cov, t_cs, weights = [], [], [], [], [], []
@@ -116,7 +121,8 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 mean=jnp.stack(t_mean), cov=jnp.stack(t_cov), cov_sqrt=jnp.stack(t_cs)
             )
             losses = L.w2_losses_batched(
-                jnp.stack(means), jnp.stack(covs), target, cfg.sqrtm_iters
+                jnp.stack(means), jnp.stack(covs), target, cfg.sqrtm_iters,
+                sqrtm_fn=sqrtm_fn,
             )
             total += jnp.sum(losses * jnp.asarray(weights, jnp.float32))
         return total
