@@ -1,0 +1,28 @@
+"""Golden-output regression (SURVEY.md §4.3): a committed output image for a
+fixed tiny workload. Guards against silent objective/optimizer/feature
+regressions — any semantic change to the pipeline shows up as a PSNR drop
+against the committed artifact (tolerance absorbs cross-host float drift)."""
+
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from style_transfer_tpu.engine import StyleTransfer
+from style_transfer_tpu.models.weights import random_params
+from style_transfer_tpu.utils.metrics import psnr
+
+GOLDEN = Path(__file__).parent / "golden" / "tiny_w2_64px.png"
+
+
+def test_golden_tiny_w2(content_pil, style_pil):
+    st = StyleTransfer(devices=1, weights=random_params(0), callback_chunk=25)
+    st.seed(0)
+    img = st.stylize(
+        content_pil, [style_pil], min_scale=64, end_scale=64,
+        iterations=100, initial_iterations=100,
+    )
+    got = np.asarray(img, np.float64) / 255.0
+    want = np.asarray(Image.open(GOLDEN), np.float64) / 255.0
+    p = psnr(got, want)
+    assert p > 30.0, f"output drifted from golden: PSNR {p:.2f} dB"
