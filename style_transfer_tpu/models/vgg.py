@@ -91,6 +91,7 @@ def extract_features(
     layers: Sequence[int],
     pooling: str = "max",
     compute_dtype: Optional[jnp.dtype] = None,
+    pool_impl: str = "xla",
 ):
     """Run the VGG-19 trunk up to the last requested layer.
 
@@ -124,7 +125,7 @@ def extract_features(
         if i in _CONV_SET:
             x = _conv(x, params[f"conv{i}_kernel"], params[f"conv{i}_bias"], i == 0)
         elif i in _POOL_SET:
-            x = pool2x2(x, pooling)
+            x = pool2x2(x, pooling, pool_impl)
             if pooling != "max":
                 # Swapping the pooling type changes activation scale; rescale
                 # like the reference does (ref :41-46).

@@ -1,19 +1,24 @@
 """Pallas TPU kernel: fused 2x2/2 max pooling, forward + backward.
 
 Why this exists: XLA lowers max-pool's gradient to ``select_and_scatter``
-(~2.3 ms/iter at 512px on a v5e) and brackets both directions of the pool
-with full-tensor layout copies (~1 ms more) — together about a quarter of the
-fused optimization step. This kernel does the windowing with explicit
-strided slices inside VMEM, reads/writes the canonical (8,128)-tiled layout
-directly, and emits the tie-splitting subgradient in one pass.
+(~2.3 ms/iter at 512px on a v5e) and brackets the pool with full-tensor
+layout copies — together about a quarter of the fused optimization step.
 
-Backward semantics: the cotangent is routed to the argmax position; exact
-ties split evenly (a valid subgradient — PyTorch routes to the first winner,
-which differs only on exactly-equal values such as post-ReLU zeros).
+Mosaic has no strided vector slices, so the windowing is expressed with
+layout-legal ops only:
 
-Shapes: NHWC with N folded into the grid; H, W even (the VGG trunk
-guarantees this via its min-size checks; odd trailing rows/cols are handled
-by the caller's floor-crop).
+* W pairing: the caller reshapes ``(N, H, W, C) -> (N, H, W/2, 2C)`` (row-
+  major view: the two pixels of a W pair become adjacent lane blocks), and
+  the kernel slices lanes ``[:C]`` / ``[C:]`` — stride-1 slices.
+* H pairing: the kernel reshapes its ``(2*TH, wp, 2C)`` block to
+  ``(TH, 2, wp, 2C)`` — a leading-dim split, free in Mosaic — and indexes
+  the pair axis.
+
+Backward routes the cotangent through an equality mask with even tie
+splitting (a valid subgradient; PyTorch picks the first winner, differing
+only on exact ties such as post-ReLU zeros), rebuilding the input layout
+with lane concatenation + leading-dim stacking. No select_and_scatter, no
+scatter, no strided ops.
 """
 
 import functools
@@ -26,60 +31,74 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["max_pool2x2_pallas"]
 
 
-def _fwd_kernel(x_ref, y_ref):
-    x = x_ref[0]  # (2*TH, W, C)
-    a = x[0::2]  # H pairing: stride-2 on the major dim
-    b = x[1::2]
-    m = jnp.maximum(a, b)  # (TH, W, C)
-    y_ref[0] = jnp.maximum(m[:, 0::2, :], m[:, 1::2, :])  # W pairing
+def _fwd_kernel(x_ref, y_ref, *, c):
+    x = x_ref[0]  # (2*TH, wp, 2C)
+    th2, wp, _ = x.shape
+    v = x.reshape(th2 // 2, 2, wp, 2 * c)
+    m = jnp.maximum(v[:, 0], v[:, 1])  # (TH, wp, 2C)
+    y_ref[0] = jnp.maximum(m[..., :c], m[..., c:])  # (TH, wp, C)
 
 
-def _bwd_kernel(x_ref, y_ref, g_ref, gx_ref):
-    x = x_ref[0]  # (2*TH, W, C)
+def _bwd_kernel(x_ref, y_ref, g_ref, gx_ref, *, c):
+    x = x_ref[0]  # (2*TH, wp, 2C)
     y = y_ref[0]  # (TH, wp, C)
     g = g_ref[0]
-    th, wp, c = y.shape
-    corners = [x[i::2, j::2, :] for i in (0, 1) for j in (0, 1)]  # 4x (TH, wp, C)
-    masks = [(cnr == y).astype(g.dtype) for cnr in corners]
+    th2, wp, _ = x.shape
+    th = th2 // 2
+    v = x.reshape(th, 2, wp, 2 * c)
+    corners = (
+        v[:, 0, :, :c], v[:, 0, :, c:],  # (h even, w even), (h even, w odd)
+        v[:, 1, :, :c], v[:, 1, :, c:],
+    )
+    # Compare in f32: some TPU targets reject bf16 vector equality, and the
+    # upcast is exact for bf16 values.
+    yf = y.astype(jnp.float32)
+    masks = [(cnr.astype(jnp.float32) == yf).astype(g.dtype) for cnr in corners]
     ties = masks[0] + masks[1] + masks[2] + masks[3]
     gg = g / ties
     g00, g01, g10, g11 = (m * gg for m in masks)
-    # Interleave W then H back to (2*TH, W, C).
-    row0 = jnp.stack([g00, g01], axis=2).reshape(th, 2 * wp, c)
-    row1 = jnp.stack([g10, g11], axis=2).reshape(th, 2 * wp, c)
-    gx_ref[0] = jnp.stack([row0, row1], axis=1).reshape(2 * th, 2 * wp, c)
+    row0 = jnp.concatenate([g00, g01], axis=-1)  # (TH, wp, 2C) — lane concat
+    row1 = jnp.concatenate([g10, g11], axis=-1)
+    out = jnp.stack([row0, row1], axis=1)  # (TH, 2, wp, 2C) — leading stack
+    gx_ref[0] = out.reshape(th2, wp, 2 * c)
 
 
-def _pick_th(h, w, c, dtype_bytes=2, budget=6 * 1024 * 1024):
-    """Rows-of-output per grid step such that x+gx blocks fit VMEM."""
-    hp = h // 2
-    row_bytes = 2 * w * c * dtype_bytes  # one output row's input slab
-    th = max(1, budget // (3 * row_bytes))
+def _pick_th(hp, wp, c, dtype_bytes, budget=8 * 1024 * 1024):
+    row_bytes = 2 * wp * 2 * c * dtype_bytes
+    th = max(1, budget // (4 * row_bytes))
     while hp % th:
         th -= 1
     return th
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def max_pool2x2_pallas(x):
-    return _forward(x)
+def _paired(x):
+    """(N, H, W, C) -> (N, H, wp, 2C) row-major view (plus even-crop)."""
+    n, h, w, c = x.shape
+    he, we = (h // 2) * 2, (w // 2) * 2
+    x = x[:, :he, :we, :]
+    return x.reshape(n, he, we // 2, 2 * c)
 
 
 def _forward(x):
     n, h, w, c = x.shape
-    assert h % 2 == 0 and w % 2 == 0, "pallas maxpool needs even H, W"
     hp, wp = h // 2, w // 2
-    th = _pick_th(h, w, c)
-    grid = (n, hp // th)
+    xp = _paired(x)
+    th = _pick_th(hp, wp, c, x.dtype.itemsize)
     return pl.pallas_call(
-        _fwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 2 * th, w, c), lambda ni, hi: (ni, hi, 0, 0)),
-        ],
+        functools.partial(_fwd_kernel, c=c),
+        grid=(n, hp // th),
+        in_specs=[pl.BlockSpec((1, 2 * th, wp, 2 * c), lambda ni, hi: (ni, hi, 0, 0))],
         out_specs=pl.BlockSpec((1, th, wp, c), lambda ni, hi: (ni, hi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, hp, wp, c), x.dtype),
-    )(x)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(xp)
+
+
+@jax.custom_vjp
+def max_pool2x2_pallas(x):
+    return _forward(x)
 
 
 def _fwd_rule(x):
@@ -91,19 +110,26 @@ def _bwd_rule(res, g):
     x, y = res
     n, h, w, c = x.shape
     hp, wp = h // 2, w // 2
-    th = _pick_th(h, w, c)
-    grid = (n, hp // th)
-    gx = pl.pallas_call(
-        _bwd_kernel,
-        grid=grid,
+    he, we = hp * 2, wp * 2
+    xp = _paired(x)
+    th = _pick_th(hp, wp, c, g.dtype.itemsize)
+    gxp = pl.pallas_call(
+        functools.partial(_bwd_kernel, c=c),
+        grid=(n, hp // th),
         in_specs=[
-            pl.BlockSpec((1, 2 * th, w, c), lambda ni, hi: (ni, hi, 0, 0)),
+            pl.BlockSpec((1, 2 * th, wp, 2 * c), lambda ni, hi: (ni, hi, 0, 0)),
             pl.BlockSpec((1, th, wp, c), lambda ni, hi: (ni, hi, 0, 0)),
             pl.BlockSpec((1, th, wp, c), lambda ni, hi: (ni, hi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 2 * th, w, c), lambda ni, hi: (ni, hi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c), g.dtype),
-    )(x, y, g)
+        out_specs=pl.BlockSpec((1, 2 * th, wp, 2 * c), lambda ni, hi: (ni, hi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, he, wp, 2 * c), g.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(xp, y, g)
+    gx = gxp.reshape(n, he, we, c)
+    if he != h or we != w:
+        gx = jnp.pad(gx, ((0, 0), (0, h - he), (0, w - we), (0, 0)))
     return (gx,)
 
 

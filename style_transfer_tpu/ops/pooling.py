@@ -106,13 +106,19 @@ def _maxpool_bwd(res, g):
 max_pool2x2_masked.defvjp(_maxpool_fwd, _maxpool_bwd)
 
 
-def pool2x2(x, mode: str):
+def pool2x2(x, mode: str, impl: str = "xla"):
     """2x2 stride-2 pooling over NHWC, floor semantics on odd dims.
 
     ``l2`` follows ``nn.LPPool2d(2, 2)``: root of the *sum* (not mean) of
-    squares over the window.
+    squares over the window. ``impl='pallas'`` (max mode only) uses the
+    fused kernel in ops/pallas/maxpool.py instead of reduce_window +
+    select_and_scatter.
     """
     if mode == "max":
+        if impl == "pallas":
+            from .pallas.maxpool import max_pool2x2_pallas
+
+            return max_pool2x2_pallas(x)
         return max_pool2x2(x)
     if mode == "average":
         s = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")

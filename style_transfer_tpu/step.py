@@ -56,6 +56,7 @@ class StepConfig:
     w2_eps: float = 1e-4
     sqrtm_iters: int = 12
     sqrtm_impl: str = "xla"  # 'xla' | 'pallas' (fused VMEM-resident NS chain)
+    maxpool_impl: str = "xla"  # 'xla' | 'pallas' (fused pool fwd/bwd kernel)
     remat: bool = False
 
     @property
@@ -88,7 +89,8 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
 
     def features(params, image):
         return extract_features(
-            params, image, cfg.all_layers, pooling=cfg.pooling, compute_dtype=cfg.dtype
+            params, image, cfg.all_layers, pooling=cfg.pooling,
+            compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
         )
 
     if cfg.remat:
