@@ -28,6 +28,26 @@ from .utils.trace import TraceRecorder
 __doc_short__ = "Neural style transfer on TPU (JAX/XLA), W2/Gram losses over VGG-19."
 
 
+def setup_exceptions():
+    """Pretty tracebacks when IPython is around (ref cli.py:90-95)."""
+    try:
+        from IPython.core.ultratb import FormattedTB
+
+        sys.excepthook = FormattedTB(mode="Plain")
+    except Exception:
+        pass  # IPython absent or its API changed — plain tracebacks are fine
+
+
+def fix_start_method():
+    """Use spawn on macOS — fork breaks the web-preview child there
+    (ref cli.py:98-100)."""
+    import multiprocessing as mp
+    import platform
+
+    if platform.system() == "Darwin":
+        mp.set_start_method("spawn", force=True)
+
+
 class Callback:
     """Per-iteration progress: tqdm line, periodic saves, web events, trace.
 
@@ -168,6 +188,9 @@ def build_parser(stylize_fn):
 
 
 def main(argv=None):
+    setup_exceptions()
+    fix_start_method()
+
     from .engine import StyleTransfer  # deferred: heavy jax import
     from .web.server import WebInterface
 

@@ -17,9 +17,10 @@ Architecture differences (TPU-first, not a port):
 """
 
 import math
+import os
 import time
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,23 @@ from .utils.scales import gen_scales, size_to_fit
 from .utils.trace import STIterate, peak_device_ram
 
 __all__ = ["StyleTransfer"]
+
+_DEBUG_TIMING = bool(os.environ.get("STT_DEBUG_TIMING"))
+
+
+class _phase_timer:
+    """Prints phase durations when STT_DEBUG_TIMING is set (diagnostics)."""
+
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        if _DEBUG_TIMING:
+            print(f"[timing] {self.name}: {time.perf_counter() - self.t0:.2f}s",
+                  flush=True)
 
 
 def _pil_to_nhwc(image: Image.Image, size=None) -> np.ndarray:
@@ -192,7 +210,10 @@ class StyleTransfer:
     def _auto_remat(self, h, w) -> bool:
         if self.remat is not None:
             return bool(self.remat)
-        return h * w > 1536 * 1536
+        # bf16 activations for the tapped trunk are ~0.5 KB/pixel; a 16 GB
+        # HBM chip holds ~14 Mpx without remat (2896x2172 = 6.3 Mpx runs
+        # comfortably, and remat costs ~18% there).
+        return h * w > 14_000_000
 
     def _features(self, image, layers):
         """Target-capture forward pass (f32, jitted; cached per layer set)."""
@@ -401,10 +422,11 @@ class StyleTransfer:
             )
 
             print(f"Processing content image ({cw}x{ch})...")
-            consts = self._capture_targets(
+            with _phase_timer(f"targets@{scale}"):
+                consts = self._capture_targets(
                 content, style_images, style_weights, scale,
-                style_scale_fac, style_size, cfg,
-            )
+                    style_scale_fac, style_size, cfg,
+                )
             self._last_cfg, self._last_consts = cfg, consts
 
             if optimizer == "adam":
@@ -433,10 +455,15 @@ class StyleTransfer:
             actual_its = initial_iterations if scale == scales[0] else iterations
             done = min(resume_state["done_iters"], actual_its) if resuming_here else 0
             t_prev = time.time()
+            first_chunk = True
             while done < actual_its:
                 n = min(self.callback_chunk, actual_its - done)
-                state, losses = runner(self.params, consts, state, n)
-                losses = np.asarray(jax.device_get(losses), np.float64)
+                with _phase_timer(
+                    f"{'chunk1' if first_chunk else 'chunk'}@{scale}x{n}"
+                ):
+                    state, losses = runner(self.params, consts, state, n)
+                    losses = np.asarray(jax.device_get(losses), np.float64)
+                first_chunk = False
                 # Publish state so callbacks (saves, web preview) see progress.
                 self.image, self.average = state.image, state.ema
                 t_now = time.time()

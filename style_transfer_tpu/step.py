@@ -20,7 +20,7 @@ TPU specifics:
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
