@@ -210,10 +210,11 @@ class StyleTransfer:
     def _auto_remat(self, h, w) -> bool:
         if self.remat is not None:
             return bool(self.remat)
-        # bf16 activations for the tapped trunk are ~0.5 KB/pixel; a 16 GB
-        # HBM chip holds ~14 Mpx without remat (2896x2172 = 6.3 Mpx runs
-        # comfortably, and remat costs ~18% there).
-        return h * w > 14_000_000
+        # Measured crossover on v5e (PERF.md): storing all trunk
+        # activations wins below ~1 Mpx (remat costs +15-37% there), while
+        # above ~1.5 Mpx the backward is bandwidth-bound and recompute wins
+        # (1448x1086: 116 ms/it remat vs 191 ms/it stored).
+        return h * w > 1_200_000
 
     def _features(self, image, layers):
         """Target-capture forward pass (f32, jitted; cached per layer set)."""
