@@ -210,11 +210,13 @@ class StyleTransfer:
     def _auto_remat(self, h, w) -> bool:
         if self.remat is not None:
             return bool(self.remat)
-        # Measured crossover on v5e (PERF.md): storing all trunk
-        # activations wins below ~1 Mpx (remat costs +15-37% there), while
-        # above ~1.5 Mpx the backward is bandwidth-bound and recompute wins
-        # (1448x1086: 116 ms/it remat vs 191 ms/it stored).
-        return h * w > 1_200_000
+        # Remat is a memory tool, not a speed tool here: measured on v5e,
+        # storing activations beats recompute at every size that fits HBM
+        # (512px: -27%, 2048px: -13%, 2896px: -27% vs remat), except one
+        # odd-dimension-cascade anomaly (1448x1086; see PERF.md). bf16
+        # tapped-trunk activations are ~0.5 KB/pixel, so a 16 GB chip holds
+        # ~14 Mpx comfortably; beyond that, rematerialize.
+        return h * w > 14_000_000
 
     def _features(self, image, layers):
         """Target-capture forward pass (f32, jitted; cached per layer set)."""
