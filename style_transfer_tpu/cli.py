@@ -174,6 +174,10 @@ def build_parser(stylize_fn):
     p.add_argument("--remat", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="rematerialize the trunk in backward (memory vs compute)")
+    p.add_argument("--align", **arg_info("align"),
+                   help="round optimization dims to a multiple (1 = exact "
+                        "reference sizing; 8/16 avoids odd pooling cascades "
+                        "that slow TPU mid-scales)")
     p.add_argument("--callback-chunk", type=int, default=50,
                    help="iterations fused per device round-trip")
     p.add_argument("--trace", type=str, default="trace.json",

@@ -42,7 +42,7 @@ from .step import (
 from .utils.checkpoint import load_checkpoint, save_checkpoint
 from .utils.ema import EMAState, ema_get, ema_init
 from .utils.jaxcache import enable_persistent_cache
-from .utils.scales import gen_scales, size_to_fit
+from .utils.scales import align_size, gen_scales, size_to_fit
 from .utils.trace import STIterate, peak_device_ram
 
 __all__ = ["StyleTransfer"]
@@ -354,6 +354,7 @@ class StyleTransfer:
         init: str = "content",
         style_scale_fac: float = 1.0,
         style_size: int = None,
+        align: int = 1,
         callback=None,
         checkpoint: str = None,
         resume: bool = False,
@@ -384,7 +385,9 @@ class StyleTransfer:
             )
             self.image = jnp.asarray(resume_state["image"])
         else:
-            cw, ch = size_to_fit(content_image.size, scales[0], scale_up=True)
+            cw, ch = align_size(
+                size_to_fit(content_image.size, scales[0], scale_up=True), align
+            )
             self.image = self._init_image(
                 init, content_image, style_images, style_weights, (ch, cw)
             )
@@ -395,7 +398,9 @@ class StyleTransfer:
             if scale_idx < start_scale_idx:
                 continue
             resuming_here = resume_state is not None and scale_idx == start_scale_idx
-            cw, ch = size_to_fit(content_image.size, scale, scale_up=True)
+            cw, ch = align_size(
+                size_to_fit(content_image.size, scale, scale_up=True), align
+            )
             content = jnp.asarray(_pil_to_nhwc(content_image, (cw, ch)))
 
             if resuming_here:

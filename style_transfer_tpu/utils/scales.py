@@ -6,7 +6,7 @@ Parity with the reference's pyramid helpers
 ``gen_scales(128, 512) == [128, 181, 256, 362, 512]``.
 """
 
-__all__ = ["gen_scales", "size_to_fit", "get_safe_scale"]
+__all__ = ["gen_scales", "size_to_fit", "get_safe_scale", "align_size"]
 
 
 def gen_scales(start: int, end: int):
@@ -32,6 +32,19 @@ def size_to_fit(size, max_dim: int, scale_up: bool = False):
     else:
         new_h = round(max_dim * h / w)
     return new_w, new_h
+
+
+def align_size(size, align: int):
+    """Round (w, h) to the nearest positive multiples of ``align``.
+
+    TPU pooling cascades hate odd intermediate dims (measured 2x step cost
+    at 1448x1086 vs 1440x1088 on v5e); aligning the optimization canvas is
+    an opt-in tradeoff of exact output size for speed."""
+    if align <= 1:
+        return size
+    w, h = size
+    return (max(align, round(w / align) * align),
+            max(align, round(h / align) * align))
 
 
 def get_safe_scale(w: int, h: int, dim: int) -> int:

@@ -37,3 +37,12 @@ def test_get_safe_scale():
     # 2:1 aspect: sqrt(2) bigger max dim keeps pixel budget
     assert get_safe_scale(1024, 512, 512) == int(2 ** 0.5 * 512)
     assert get_safe_scale(512, 1024, 512) == int(2 ** 0.5 * 512)
+
+
+def test_align_size():
+    from style_transfer_tpu.utils.scales import align_size
+
+    assert align_size((1448, 1086), 1) == (1448, 1086)
+    assert align_size((1448, 1086), 16) == (1440, 1088)
+    assert align_size((5, 5), 8) == (8, 8)
+    assert align_size((100, 50), 4) == (100, 48)
