@@ -16,8 +16,10 @@ Architecture differences (TPU-first, not a port):
   and checkpoint/resume trivial.
 """
 
+import dataclasses
 import math
 import os
+import threading
 import time
 from pathlib import Path
 from typing import Optional
@@ -85,6 +87,51 @@ def _scale_adam(opt: AdamState, hw) -> AdamState:
     mu = _resize_image(opt.mu, hw, "cubic")
     nu = jnp.maximum(_resize_image(opt.nu, hw, "linear"), 0.0)
     return AdamState(mu=mu, nu=nu, count=opt.count)
+
+
+class _AOTPrefetcher:
+    """Ahead-of-time compilation of upcoming scales' step programs.
+
+    Per-scale shapes mean per-scale XLA programs; tracing + (cached) program
+    load costs seconds to tens of seconds each (PERF.md). This overlaps that
+    work with the *previous* scale's iteration: a worker thread lowers and
+    compiles the next runner from abstract shapes while the device crunches
+    the current scale.
+    """
+
+    def __init__(self):
+        self._jobs = {}
+        self._results = {}
+        self._lock = threading.Lock()
+
+    def submit(self, key, make_fn):
+        with self._lock:
+            if key in self._jobs or key in self._results:
+                return
+            t = threading.Thread(
+                target=self._work, args=(key, make_fn), daemon=True
+            )
+            self._jobs[key] = t
+        t.start()
+
+    def _work(self, key, make_fn):
+        try:
+            result = make_fn()
+        except Exception as e:  # fall back to the JIT path on any failure
+            result = e
+        with self._lock:
+            self._results[key] = result
+
+    def get(self, key):
+        """Blocks for an in-flight job (waiting beats recompiling); returns
+        None when nothing was submitted or the job failed."""
+        with self._lock:
+            t = self._jobs.get(key)
+        if t is not None:
+            t.join()
+        with self._lock:
+            r = self._results.get(key)
+        return None if r is None or isinstance(r, Exception) else r
 
 
 class StyleTransfer:
@@ -166,6 +213,7 @@ class StyleTransfer:
         self.average = None  # EMAState
         self._runner_cache = {}
         self._fn_cache = {}
+        self._prefetcher = _AOTPrefetcher()
         self._rng = np.random.RandomState(0)
 
     # ------------------------------------------------------------------ API
@@ -297,6 +345,64 @@ class StyleTransfer:
             else:
                 raise ValueError("optimizer must be one of 'adam', 'lbfgs'")
         return self._runner_cache[key]
+
+    # ------------------------------------------------- AOT compile pipeline
+
+    def _consts_struct(self, cfg: StepConfig, ch: int, cw: int):
+        from .models.vgg import feature_shape
+
+        f32 = jnp.float32
+        sds = jax.ShapeDtypeStruct
+        content = {
+            l: sds((1, *feature_shape(l, ch, cw)), f32) for l in cfg.content_layers
+        }
+        style = {}
+        for l in cfg.style_layers:
+            c = feature_shape(l, ch, cw)[2]
+            if cfg.style_loss == "w2":
+                style[l] = L.W2Target(
+                    mean=sds((1, c), f32),
+                    cov=sds((1, c, c), f32),
+                    cov_sqrt=sds((1, c, c), f32),
+                )
+            else:
+                style[l] = sds((1, c, c), f32)
+        return {"content": content, "style": style}
+
+    def _state_struct(self, ch: int, cw: int):
+        f32 = jnp.float32
+        sds = jax.ShapeDtypeStruct
+        img = sds((1, ch, cw, 3), f32)
+        return LoopState(
+            image=img,
+            opt=AdamState(mu=img, nu=img, count=sds((), jnp.int32)),
+            ema=EMAState(value=img, accum=sds((), f32)),
+        )
+
+    def _aot_chunks(self, actual_its: int):
+        n1 = min(self.callback_chunk, actual_its)
+        rem = actual_its % n1
+        return (n1,) if rem == 0 else (n1, rem)
+
+    def _prefetch_scale(self, cfg: StepConfig, ch: int, cw: int, actual_its: int):
+        """Queue AOT compilation of the runner(s) for an upcoming scale."""
+        if self.mesh is not None:
+            return  # sharded-input layout matching is future work (PERF.md)
+        params_struct = {
+            k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in self.params.items()
+        }
+        consts_struct = self._consts_struct(cfg, ch, cw)
+        state_struct = self._state_struct(ch, cw)
+        runner = self._get_runner(cfg, "adam")
+        for n in self._aot_chunks(actual_its):
+            key = (cfg, ch, cw, n)
+
+            def make(n=n):
+                return runner.lower(
+                    params_struct, consts_struct, state_struct, n
+                ).compile()
+
+            self._prefetcher.submit(key, make)
 
     def _capture_targets(
         self, content, style_images, style_weights, scale,
@@ -462,14 +568,34 @@ class StyleTransfer:
 
             actual_its = initial_iterations if scale == scales[0] else iterations
             done = min(resume_state["done_iters"], actual_its) if resuming_here else 0
+
+            # Overlap the NEXT scale's trace/compile/program-load with this
+            # scale's iteration (adam only; see _AOTPrefetcher).
+            if optimizer == "adam" and scale_idx + 1 < len(scales):
+                cw2, ch2 = align_size(
+                    size_to_fit(content_image.size, scales[scale_idx + 1],
+                                scale_up=True),
+                    align,
+                )
+                self._prefetch_scale(
+                    dataclasses.replace(cfg, remat=self._auto_remat(ch2, cw2)),
+                    ch2, cw2, iterations,
+                )
+
             t_prev = time.time()
             first_chunk = True
             while done < actual_its:
                 n = min(self.callback_chunk, actual_its - done)
+                aot = None
+                if optimizer == "adam":
+                    aot = self._prefetcher.get((cfg, ch, cw, n))
                 with _phase_timer(
                     f"{'chunk1' if first_chunk else 'chunk'}@{scale}x{n}"
                 ):
-                    state, losses = runner(self.params, consts, state, n)
+                    if aot is not None:
+                        state, losses = aot(self.params, consts, state)
+                    else:
+                        state, losses = runner(self.params, consts, state, n)
                     losses = np.asarray(jax.device_get(losses), np.float64)
                 first_chunk = False
                 # Publish state so callbacks (saves, web preview) see progress.

@@ -26,13 +26,14 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.pooling import POOLING_SCALES, pool2x2, replicate_pad2d
-from .weights import CONV_INDICES, POOL_INDICES
+from .weights import CONV_CHANNELS, CONV_INDICES, POOL_INDICES
 
 __all__ = [
     "INPUT",
     "IMAGENET_MEAN",
     "IMAGENET_STD",
     "min_input_size",
+    "feature_shape",
     "normalize",
     "extract_features",
 ]
@@ -57,6 +58,18 @@ def min_input_size(layers: Sequence[int]) -> int:
             break
         size *= 2
     return size
+
+
+def feature_shape(layer: int, h: int, w: int):
+    """Static (h, w, c) of the activation tapped at ``layer`` for an h x w
+    input — pools floor-halve, convs preserve. Used to pre-build abstract
+    shapes for ahead-of-time compilation."""
+    pools = sum(1 for p in POOL_INDICES if p <= layer)
+    conv_idxs = [i for i in CONV_INDICES if i <= layer]
+    c = CONV_CHANNELS[conv_idxs[-1]][1] if conv_idxs else 3
+    for _ in range(pools):
+        h, w = h // 2, w // 2
+    return h, w, c
 
 
 def normalize(x):
