@@ -162,3 +162,11 @@ def test_loss_terms_breakdown(content_pil, style_pil):
     assert set(terms) == {"content_22", "style_w2_1", "style_w2_6",
                           "style_w2_11", "style_w2_20", "style_w2_29", "tv"}
     assert all(np.isfinite(v) for v in terms.values())
+
+
+def test_align_rounds_canvas(content_pil, style_pil):
+    st = make_engine(callback_chunk=5)
+    img = st.stylize(content_pil, [style_pil], min_scale=67, end_scale=67,
+                     iterations=5, initial_iterations=5, align=8)
+    # 128x96 content at scale 67 -> 67x50, aligned to 64x48
+    assert img.size == (64, 48)

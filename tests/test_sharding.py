@@ -116,3 +116,12 @@ def test_engine_multidevice_smoke(n, content_pil, style_pil):
     )
     assert len(losses) == 10
     assert losses[-1] < losses[0]
+
+
+def test_multihost_helper_single_host(monkeypatch):
+    from style_transfer_tpu.parallel import multihost
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert multihost.initialize() is False  # no-op without a coordinator
+    assert multihost.is_multihost() is False
+    assert multihost.local_device_count() >= 1

@@ -122,3 +122,15 @@ def test_bf16_trunk_close_to_f32(params_np, image):
     b = np.asarray(bf16[11], np.float32)
     # bf16 has ~3 decimal digits; feature maps should agree to ~2%
     assert np.abs(a - b).max() / (np.abs(a).max() + 1e-6) < 0.05
+
+
+def test_feature_shape():
+    from style_transfer_tpu.models.vgg import feature_shape
+
+    assert feature_shape(1, 96, 128) == (96, 128, 64)   # relu1_1
+    assert feature_shape(6, 96, 128) == (48, 64, 128)   # relu2_1
+    assert feature_shape(11, 96, 128) == (24, 32, 256)
+    assert feature_shape(22, 96, 128) == (12, 16, 512)  # relu4_2
+    assert feature_shape(29, 96, 128) == (6, 8, 512)
+    # matches actual activation shapes (floor semantics on odd dims)
+    assert feature_shape(6, 51, 67) == (25, 33, 128)
