@@ -81,11 +81,13 @@ def _resize_image(x, hw, method: str = "cubic"):
     return jax.image.resize(x, (n, hw[0], hw[1], c), method=method)
 
 
-def _scale_adam(opt: AdamState, hw) -> AdamState:
+def _scale_adam(opt: AdamState, hw, mesh=None) -> AdamState:
     """Warm-start Adam moments at a new resolution (ref :285-295):
-    first moment resized bicubic, second moment bilinear then clamped >= 0."""
-    mu = _resize_image(opt.mu, hw, "cubic")
-    nu = jnp.maximum(_resize_image(opt.nu, hw, "linear"), 0.0)
+    first moment resized bicubic, second moment bilinear then clamped >= 0.
+    Moments are re-sharded like the image so the step program's input
+    shardings stay uniform across scales."""
+    mu = shard_image(_resize_image(opt.mu, hw, "cubic"), mesh)
+    nu = shard_image(jnp.maximum(_resize_image(opt.nu, hw, "linear"), 0.0), mesh)
     return AdamState(mu=mu, nu=nu, count=opt.count)
 
 
@@ -385,22 +387,41 @@ class StyleTransfer:
         return (n1,) if rem == 0 else (n1, rem)
 
     def _prefetch_scale(self, cfg: StepConfig, ch: int, cw: int, actual_its: int):
-        """Queue AOT compilation of the runner(s) for an upcoming scale."""
-        if self.mesh is not None:
-            return  # sharded-input layout matching is future work (PERF.md)
-        params_struct = {
-            k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in self.params.items()
-        }
-        consts_struct = self._consts_struct(cfg, ch, cw)
-        state_struct = self._state_struct(ch, cw)
+        """Queue AOT compilation of the runner(s) for an upcoming scale.
+
+        Single device: lower from abstract ShapeDtypeStructs. With a mesh:
+        lower from concrete zero-filled dummies built exactly like the real
+        scale-start state (same shard_image path), so the compiled program's
+        input shardings match what it will be fed.
+        """
         runner = self._get_runner(cfg, "adam")
+        if self.mesh is None:
+            params_in = {
+                k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                for k, v in self.params.items()
+            }
+            consts_in = self._consts_struct(cfg, ch, cw)
+            state_in = self._state_struct(ch, cw)
+        else:
+            params_in = self.params
+
+            def zeros(sds):
+                return jnp.zeros(sds.shape, sds.dtype)
+
+            consts_in = jax.tree.map(zeros, self._consts_struct(cfg, ch, cw))
+            img = shard_image(jnp.zeros((1, ch, cw, 3), jnp.float32), self.mesh)
+            state_in = LoopState(
+                image=img,
+                opt=AdamState(
+                    mu=img, nu=img, count=jnp.zeros((), jnp.int32)
+                ),
+                ema=EMAState(value=img, accum=jnp.zeros((), jnp.float32)),
+            )
         for n in self._aot_chunks(actual_its):
             key = (cfg, ch, cw, n)
 
             def make(n=n):
-                return runner.lower(
-                    params_struct, consts_struct, state_struct, n
-                ).compile()
+                return runner.lower(params_in, consts_in, state_in, n).compile()
 
             self._prefetcher.submit(key, make)
 
@@ -554,7 +575,7 @@ class StyleTransfer:
                 elif opt_state is None:
                     opt_state = adam_init(self.image)
                 else:
-                    opt_state = _scale_adam(opt_state, (ch, cw))
+                    opt_state = _scale_adam(opt_state, (ch, cw), self.mesh)
                 state = LoopState(image=self.image, opt=opt_state, ema=self.average)
             elif optimizer == "lbfgs":
                 runner, lbfgs_init = self._get_runner(cfg, "lbfgs")

@@ -125,3 +125,22 @@ def test_multihost_helper_single_host(monkeypatch):
     assert multihost.initialize() is False  # no-op without a coordinator
     assert multihost.is_multihost() is False
     assert multihost.local_device_count() >= 1
+
+
+def test_engine_multidevice_pyramid_prefetch(content_pil, style_pil):
+    """Two-scale pyramid on a mesh exercises the sharded AOT prefetch path
+    (scale 2's program compiles from sharded dummies during scale 1)."""
+    from style_transfer_tpu.engine import StyleTransfer
+    from style_transfer_tpu.models.weights import random_params
+
+    st = StyleTransfer(
+        devices=jax.devices()[:8], weights=random_params(0), callback_chunk=5
+    )
+    losses = []
+    st.stylize(
+        content_pil, [style_pil], min_scale=64, end_scale=96,
+        iterations=10, initial_iterations=10,
+        callback=lambda it: losses.append(it.loss),
+    )
+    assert len(losses) == 20
+    assert np.isfinite(losses).all()
