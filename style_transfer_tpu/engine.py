@@ -190,6 +190,7 @@ class StyleTransfer:
         if sqrtm_impl == "auto":
             sqrtm_impl = "pallas" if self.devices[0].platform == "tpu" else "xla"
         self.sqrtm_impl = sqrtm_impl
+        self._is_tpu = self.devices[0].platform == "tpu"
         self.remat = remat
         self.callback_chunk = int(callback_chunk)
 
@@ -256,6 +257,12 @@ class StyleTransfer:
         return {k: float(v) for k, v in jax.device_get(out).items()}
 
     # ------------------------------------------------------------ internals
+
+    def _maxpool_impl(self, h, w) -> str:
+        # 'paired' (H-pair max + lane-merged W-pair max) beats
+        # select_and_scatter at small sizes (-3% at 512px) but its
+        # (W,C)->(W/2,2C) relayout loses at print sizes (+27% at 2896px).
+        return "paired" if self._is_tpu and h * w <= 750_000 else "xla"
 
     def _auto_remat(self, h, w) -> bool:
         if self.remat is not None:
@@ -549,6 +556,7 @@ class StyleTransfer:
                 style_loss=self.style_loss,
                 content_loss=self.content_loss,
                 sqrtm_impl=self.sqrtm_impl,
+                maxpool_impl=self._maxpool_impl(ch, cw),
                 pooling=self.pooling,
                 compute_dtype=self.compute_dtype,
                 step_size=step_size,

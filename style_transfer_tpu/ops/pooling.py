@@ -106,6 +106,22 @@ def _maxpool_bwd(res, g):
 max_pool2x2_masked.defvjp(_maxpool_fwd, _maxpool_bwd)
 
 
+def max_pool2x2_paired(x):
+    """Max pooling via H-pair max (major-dim strided slice) + W-pair max
+    (a row-major (W,C)->(W/2,2C) merge puts W pairs on adjacent lanes).
+
+    Pure XLA ops with vanilla autodiff: the backward is elementwise selects
+    and the reshape adjoints — no select_and_scatter. Tie gradients split
+    50/50 per max (PyTorch picks the first winner; differs only on exact
+    ties such as post-ReLU zeros)."""
+    n, h, w, c = x.shape
+    hp, wp = h // 2, w // 2
+    x = x[:, : hp * 2, : wp * 2, :]
+    m = jnp.maximum(x[:, 0::2], x[:, 1::2])  # (n, hp, 2*wp, c)
+    v = m.reshape(n, hp, wp, 2 * c)
+    return jnp.maximum(v[..., :c], v[..., c:])
+
+
 def pool2x2(x, mode: str, impl: str = "xla"):
     """2x2 stride-2 pooling over NHWC, floor semantics on odd dims.
 
@@ -119,6 +135,8 @@ def pool2x2(x, mode: str, impl: str = "xla"):
             from .pallas.maxpool import max_pool2x2_pallas
 
             return max_pool2x2_pallas(x)
+        if impl == "paired":
+            return max_pool2x2_paired(x)
         return max_pool2x2(x)
     if mode == "average":
         s = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
