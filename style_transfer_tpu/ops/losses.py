@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .pooling import replicate_pad2d
-from .sqrtm import sqrtm_ns_lyap
+from .sqrtm import sqrtm_eig, sqrtm_ns_lyap
 
 __all__ = [
     "scaled_mse",
@@ -122,9 +122,18 @@ def _eye_like(x):
 
 
 def w2_target(mean, srm, eps: float = 1e-4, sqrtm_iters: int = 12) -> W2Target:
-    """Finalize a blended (mean, srm) pair into a W2Target (ref :152-160)."""
+    """Finalize a blended (mean, srm) pair into a W2Target (ref :152-160).
+
+    The target square root uses the eigendecomposition (|eigenvalue|
+    semantics, like the reference's ``sqrtm_eig``): blends with *negative*
+    ``--style-weights`` can make the blended covariance indefinite, where
+    Newton-Schulz diverges to NaN. Targets are computed once per scale, so
+    the eigh cost is irrelevant; the per-iteration sqrtm stays NS because
+    its input ``C_t^1/2 C C_t^1/2`` is PSD by construction. ``sqrtm_iters``
+    is kept for API stability (used by the in-loop path)."""
+    del sqrtm_iters
     cov = _srm_to_cov(mean, srm) + _eye_like(srm) * eps
-    return W2Target(mean=mean, cov=cov, cov_sqrt=sqrtm_ns_lyap(cov, sqrtm_iters))
+    return W2Target(mean=mean, cov=cov, cov_sqrt=sqrtm_eig(cov))
 
 
 def w2_loss(feats, target: W2Target, eps: float = 1e-4, sqrtm_iters: int = 12):

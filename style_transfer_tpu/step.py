@@ -96,6 +96,9 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
     if cfg.remat:
         features = jax.checkpoint(features)
 
+    if cfg.style_loss not in ("w2", "gram"):
+        raise ValueError(f"unknown style_loss {cfg.style_loss!r}")
+
     def w2_total(feats, consts):
         """W2 style terms, grouped by channel count so same-C layers run
         their Newton-Schulz chains as one batched matmul sequence."""
