@@ -91,6 +91,13 @@ def _scale_adam(opt: AdamState, hw, mesh=None) -> AdamState:
     return AdamState(mu=mu, nu=nu, count=opt.count)
 
 
+def _resolve_device(name: str):
+    """'tpu' / 'tpu:1' / 'cpu' -> jax device."""
+    platform, _, idx = name.partition(":")
+    devs = jax.devices(platform)
+    return devs[int(idx)] if idx else devs[0]
+
+
 class _AOTPrefetcher:
     """Ahead-of-time compilation of upcoming scales' step programs.
 
@@ -148,7 +155,8 @@ class StyleTransfer:
         params dict; None resolves via the search order in models/weights.py.
       compute_dtype: trunk dtype; None picks bf16 on TPU, f32 elsewhere.
       style_loss: 'w2' (default, reference behavior) or 'gram'.
-      remat: None = auto (rematerialize trunk above ~2.2M pixels), or bool.
+      remat: None = auto (rematerialize the trunk only above ~14 Mpx, where
+        activations would not fit HBM; remat is slower otherwise), or bool.
       callback_chunk: iterations fused per device round-trip. Telemetry is
         emitted per iteration, but wall-times within a chunk are interpolated.
     """
@@ -171,7 +179,12 @@ class StyleTransfer:
         elif isinstance(devices, int):
             self.devices = list(jax.devices())[:devices]
         else:
-            self.devices = list(devices)
+            # Accept device objects or reference-style name strings
+            # ('tpu', 'tpu:1', 'cpu' — the analog of the reference's
+            # ['cuda:0', 'cuda:1'] constructor surface).
+            self.devices = [
+                _resolve_device(d) if isinstance(d, str) else d for d in devices
+            ]
         if not self.devices:
             raise ValueError("no devices")
         enable_persistent_cache()

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["POOLING_SCALES", "pool2x2", "replicate_pad2d", "safe_sqrt"]
+__all__ = ["POOLING_SCALES", "pool2x2", "max_pool2x2",
+           "max_pool2x2_paired", "replicate_pad2d", "safe_sqrt"]
 
 # Reference style_transfer.py:22 — activation rescale per pooling mode.
 POOLING_SCALES = {"max": 1.0, "average": 2.0, "l2": 0.78}
@@ -47,63 +48,15 @@ def _maxpool_fwd_raw(x):
     )
 
 
-def _repeat2x2(y):
-    n, h, w, c = y.shape
-    y = jnp.broadcast_to(y[:, :, None, :, None, :], (n, h, 2, w, 2, c))
-    return y.reshape(n, 2 * h, 2 * w, c)
-
-
 def max_pool2x2(x):
     """2x2/2 max pooling (XLA reduce_window; select-and-scatter backward).
 
-    Note on the backward: select-and-scatter costs ~4ms/step at 512px on a
-    v5e (~30% of a fused iteration). A mask-based custom VJP
-    (``max_pool2x2_masked`` below) is mathematically equivalent (tie-splitting
-    subgradient) but currently triggers pathological XLA:TPU compile times
-    (10+ minutes) for roughly the same runtime, so the stock path stays the
-    default until the Pallas kernel lands.
+    Note on the backward: select-and-scatter costs ~2.3 ms/step at 512px on
+    a v5e. See ``max_pool2x2_paired`` (used on TPU at small sizes) and
+    ``ops/pallas/maxpool.py`` for the alternatives; PERF.md has the
+    measurement history.
     """
     return _maxpool_fwd_raw(x)
-
-
-@jax.custom_vjp
-def max_pool2x2_masked(x):
-    """Max pooling with an elementwise mask-based backward (ties split
-    evenly — a valid subgradient; PyTorch routes to the first winner, which
-    only differs on exactly-tied values such as post-ReLU zeros)."""
-    return _maxpool_fwd_raw(x)
-
-
-def _maxpool_fwd(x):
-    y = _maxpool_fwd_raw(x)
-    return y, (x, y)
-
-
-def _maxpool_bwd(res, g):
-    x, y = res
-    n, h, w, c = x.shape
-    hp, wp = h // 2, w // 2
-    he, we = hp * 2, wp * 2  # floor semantics: odd edges get no grad
-    # Four strided window corners, each (n, hp, wp, c) — C stays minor-most
-    # (lane dim) throughout, which is what makes this layout-friendly on TPU.
-    corners = [
-        x[:, i:he:2, j:we:2, :] for i in (0, 1) for j in (0, 1)
-    ]
-    masks = [(cnr == y).astype(g.dtype) for cnr in corners]
-    ties = masks[0] + masks[1] + masks[2] + masks[3]
-    gg = g / ties
-    g00, g01, g10, g11 = (m * gg for m in masks)
-    # Interleave back: stack on a fresh minor-adjacent axis then merge — a
-    # contiguous-merge reshape, not a sublane split.
-    row0 = jnp.stack([g00, g01], axis=3).reshape(n, hp, we, c)
-    row1 = jnp.stack([g10, g11], axis=3).reshape(n, hp, we, c)
-    gx = jnp.stack([row0, row1], axis=2).reshape(n, he, we, c)
-    if he != h or we != w:
-        gx = jnp.pad(gx, ((0, 0), (0, h - he), (0, w - we), (0, 0)))
-    return (gx,)
-
-
-max_pool2x2_masked.defvjp(_maxpool_fwd, _maxpool_bwd)
 
 
 def max_pool2x2_paired(x):

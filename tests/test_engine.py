@@ -170,3 +170,10 @@ def test_align_rounds_canvas(content_pil, style_pil):
                      iterations=5, initial_iterations=5, align=8)
     # 128x96 content at scale 67 -> 67x50, aligned to 64x48
     assert img.size == (64, 48)
+
+
+def test_device_string_constructor():
+    st = StyleTransfer(devices=["cpu"], weights=PARAMS)
+    assert st.devices[0].platform == "cpu"
+    st2 = StyleTransfer(devices=["cpu:0"], weights=PARAMS)
+    assert st2.devices[0].id == 0
