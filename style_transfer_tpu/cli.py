@@ -22,7 +22,7 @@ import webbrowser
 from pathlib import Path
 
 from .io_color import load_image, print_error, save_image
-from .utils.scales import get_safe_scale
+from .utils.scales import align_size, get_safe_scale, size_to_fit
 from .utils.trace import TraceRecorder
 
 __doc_short__ = "Neural style transfer on TPU (JAX/XLA), W2/Gram losses over VGG-19."
@@ -36,6 +36,21 @@ def setup_exceptions():
         sys.excepthook = FormattedTB(mode="Plain")
     except Exception:
         pass  # IPython absent or its API changed — plain tracebacks are fine
+
+
+def print_hardware_banner(devices):
+    """CPU-thread count and per-device kind + memory (ref cli.py:225-231)."""
+    import os
+
+    print(f"CPU threads: {os.cpu_count()}")
+    for d in devices:
+        try:
+            stats = d.memory_stats() or {}
+        except Exception:
+            stats = {}
+        lim = stats.get("bytes_limit")
+        mem = f" ({lim / 2**30:.2f} GB memory)" if lim else ""
+        print(f"Device {d.id}: {d.device_kind}{mem}")
 
 
 def fix_start_method():
@@ -62,12 +77,24 @@ class Callback:
         self.recorder = TraceRecorder(args)
         self.progress = None
 
+    def _is_final_scale(self, iterate):
+        # Compare against the precomputed aligned final canvas, not the raw
+        # end_scale: with --align the final dims need not equal end_scale.
+        final = getattr(self.args, "final_dims", None)
+        if final is not None:
+            return (iterate.w, iterate.h) == tuple(final)
+        return max(iterate.w, iterate.h) == self.args.end_scale
+
     def __call__(self, iterate):
         from tqdm import tqdm
 
         self.recorder.append(iterate)
-        if iterate.i == 1:
-            self.progress = tqdm(total=iterate.i_max, dynamic_ncols=True)
+        if iterate.i == 1 or self.progress is None:
+            # Lazy creation also covers resumed runs, where the first
+            # callback arrives mid-scale with i > 1.
+            self.progress = tqdm(
+                total=iterate.i_max, initial=iterate.i - 1, dynamic_ncols=True
+            )
         msg = "Size: {}x{}, iteration: {}, loss: {:g}"
         tqdm.write(msg.format(iterate.w, iterate.h, iterate.i, iterate.loss))
         self.progress.update()
@@ -75,7 +102,8 @@ class Callback:
             self.web_interface.put_iterate(iterate, self.st.get_image_tensor())
         if iterate.i == iterate.i_max:
             self.progress.close()
-            if max(iterate.w, iterate.h) != self.args.end_scale:
+            self.progress = None
+            if not self._is_final_scale(iterate):
                 save_image(self.args.output, self.st.get_image(self.image_type))
             elif self.web_interface is not None:
                 self.web_interface.put_done()
@@ -118,7 +146,10 @@ def build_parser(stylize_fn):
     p.add_argument("--tv-weight", "-tw", **arg_info("tv_weight"),
                    help="the smoothing weight")
     p.add_argument("--optimizer", **arg_info("optimizer"),
-                   choices=["adam", "lbfgs"], help="the optimizer to use")
+                   choices=["adam", "lbfgs", "lbfgs-zoom"],
+                   help="the optimizer to use (lbfgs = the reference's "
+                        "fixed-step flavor; lbfgs-zoom adds a zoom "
+                        "linesearch)")
     p.add_argument("--min-scale", "-ms", **arg_info("min_scale"),
                    help="the minimum scale (max image dim), in pixels")
     p.add_argument("--end-scale", "-s", type=str, default="512",
@@ -224,11 +255,17 @@ def main(argv=None):
             sys.exit(1)
     devices = all_devices[:n_devices]
     print("Using devices:", " ".join(str(d) for d in devices))
+    print_hardware_banner(devices)
 
     end_scale = int(str(args.end_scale).rstrip("+"))
     if str(args.end_scale).endswith("+"):
         end_scale = get_safe_scale(*content_img.size, end_scale)
     args.end_scale = end_scale
+    # The aligned final canvas the engine will actually optimize at — used by
+    # the callback to detect the last scale (put_done vs intermediate save).
+    args.final_dims = align_size(
+        size_to_fit(content_img.size, end_scale, scale_up=True), args.align
+    )
 
     web_interface = None
     if args.web:

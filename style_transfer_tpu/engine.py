@@ -40,6 +40,7 @@ from .step import (
     adam_init,
     make_adam_runner,
     make_lbfgs_runner,
+    make_lbfgs_zoom_runner,
 )
 from .utils.checkpoint import load_checkpoint, save_checkpoint
 from .utils.ema import EMAState, ema_get, ema_init
@@ -364,8 +365,12 @@ class StyleTransfer:
                 self._runner_cache[key] = make_adam_runner(cfg, self.mesh)
             elif optimizer == "lbfgs":
                 self._runner_cache[key] = make_lbfgs_runner(cfg, self.mesh)
+            elif optimizer == "lbfgs-zoom":
+                self._runner_cache[key] = make_lbfgs_zoom_runner(cfg, self.mesh)
             else:
-                raise ValueError("optimizer must be one of 'adam', 'lbfgs'")
+                raise ValueError(
+                    "optimizer must be one of 'adam', 'lbfgs', 'lbfgs-zoom'"
+                )
         return self._runner_cache[key]
 
     # ------------------------------------------------- AOT compile pipeline
@@ -521,11 +526,51 @@ class StyleTransfer:
 
         scales = gen_scales(min_scale, end_scale)
 
+        if checkpoint is not None and optimizer != "adam":
+            print(
+                "Warning: --checkpoint supports only the Adam optimizer; "
+                "no checkpoints will be written for this run."
+            )
+
         resume_state = None
         start_scale_idx = 0
         if resume and checkpoint and Path(checkpoint).is_file():
             resume_state = load_checkpoint(checkpoint)
+            ck_opt = resume_state.get("optimizer", "adam")
+            if ck_opt != optimizer:
+                raise ValueError(
+                    f"checkpoint {checkpoint!r} was written with optimizer "
+                    f"{ck_opt!r}; refusing to resume with {optimizer!r} "
+                    "(the trajectories are not compatible)"
+                )
             start_scale_idx = resume_state["scale_index"]
+            if start_scale_idx >= len(scales):
+                raise ValueError(
+                    f"checkpoint scale index {start_scale_idx} is out of range "
+                    f"for the current pyramid of {len(scales)} scales — were "
+                    "--min-scale/--end-scale changed since the checkpoint?"
+                )
+            meta = resume_state.get("meta", {})
+            exp_cw, exp_ch = align_size(
+                size_to_fit(content_image.size, scales[start_scale_idx],
+                            scale_up=True),
+                align,
+            )
+            got = (meta.get("w"), meta.get("h"))
+            if None not in got and got != (exp_cw, exp_ch):
+                raise ValueError(
+                    f"checkpoint geometry {got[0]}x{got[1]} does not match the "
+                    f"recomputed canvas {exp_cw}x{exp_ch} at scale "
+                    f"{start_scale_idx + 1} — content image or "
+                    "--end-scale/--min-scale/--align changed since the "
+                    "checkpoint was written"
+                )
+            if "rng" in resume_state and "rng_keys" in resume_state:
+                from .utils.checkpoint import unpack_rng_state
+
+                unpack_rng_state(
+                    self._rng, resume_state["rng"], resume_state["rng_keys"]
+                )
             print(
                 f"Resuming from {checkpoint}: scale {start_scale_idx + 1}/"
                 f"{len(scales)}, iteration {resume_state['done_iters']}"
@@ -598,15 +643,17 @@ class StyleTransfer:
                 else:
                     opt_state = _scale_adam(opt_state, (ch, cw), self.mesh)
                 state = LoopState(image=self.image, opt=opt_state, ema=self.average)
-            elif optimizer == "lbfgs":
-                runner, lbfgs_init = self._get_runner(cfg, "lbfgs")
+            elif optimizer in ("lbfgs", "lbfgs-zoom"):
+                runner, opt_init = self._get_runner(cfg, optimizer)
                 state = LoopState(
                     image=self.image,
-                    opt=lbfgs_init(self.image, self.params, consts),
+                    opt=opt_init(self.image, self.params, consts),
                     ema=self.average,
                 )
             else:
-                raise ValueError("optimizer must be one of 'adam', 'lbfgs'")
+                raise ValueError(
+                    "optimizer must be one of 'adam', 'lbfgs', 'lbfgs-zoom'"
+                )
 
             actual_its = initial_iterations if scale == scales[0] else iterations
             done = min(resume_state["done_iters"], actual_its) if resuming_here else 0
@@ -620,7 +667,11 @@ class StyleTransfer:
                     align,
                 )
                 self._prefetch_scale(
-                    dataclasses.replace(cfg, remat=self._auto_remat(ch2, cw2)),
+                    dataclasses.replace(
+                        cfg,
+                        remat=self._auto_remat(ch2, cw2),
+                        maxpool_impl=self._maxpool_impl(ch2, cw2),
+                    ),
                     ch2, cw2, iterations,
                 )
 
@@ -654,6 +705,8 @@ class StyleTransfer:
                         scale_index=scale_idx,
                         done_iters=done + n,
                         meta={"w": cw, "h": ch, "scale": scale},
+                        optimizer=optimizer,
+                        rng=self._rng,
                     )
                 if callback is not None:
                     ram = peak_device_ram(self.devices)

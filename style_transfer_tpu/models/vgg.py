@@ -105,6 +105,7 @@ def extract_features(
     pooling: str = "max",
     compute_dtype: Optional[jnp.dtype] = None,
     pool_impl: str = "xla",
+    cast_layer: int = 0,
 ):
     """Run the VGG-19 trunk up to the last requested layer.
 
@@ -115,6 +116,10 @@ def extract_features(
       pooling: 'max' | 'average' | 'l2'.
       compute_dtype: dtype for the conv trunk (e.g. ``jnp.bfloat16`` for MXU
         throughput). Parameters stay f32; accumulation is pinned to f32.
+      cast_layer: first layer index run in ``compute_dtype``; layers before it
+        run f32. On TPU the bf16 C=3 first conv hits a pathological
+        T(2,128) layout (~0.8 TF/s measured) — ``cast_layer=1`` keeps
+        conv1_1 in f32 where XLA handles the 3-channel input well.
 
     Returns:
       dict mapping ``INPUT`` (-1) -> the raw image and each tapped index -> its
@@ -130,11 +135,13 @@ def extract_features(
     pool_scale = POOLING_SCALES[pooling]
     feats = {INPUT: image}
     x = normalize(image)
-    if compute_dtype is not None:
+    if compute_dtype is not None and cast_layer == 0:
         x = x.astype(compute_dtype)
 
     wanted = set(layers)
     for i in range(last + 1):
+        if compute_dtype is not None and i == cast_layer and cast_layer > 0:
+            x = x.astype(compute_dtype)
         if i in _CONV_SET:
             x = _conv(x, params[f"conv{i}_kernel"], params[f"conv{i}_bias"], i == 0)
         elif i in _POOL_SET:

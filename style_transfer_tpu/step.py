@@ -30,7 +30,15 @@ from .ops import losses as L
 from .parallel.mesh import constrain_image
 from .utils.ema import EMAState, ema_update
 
-__all__ = ["StepConfig", "AdamState", "LoopState", "make_adam_runner", "make_lbfgs_runner"]
+__all__ = [
+    "StepConfig",
+    "AdamState",
+    "LoopState",
+    "LBFGSState",
+    "make_adam_runner",
+    "make_lbfgs_runner",
+    "make_lbfgs_zoom_runner",
+]
 
 
 @dataclass(frozen=True)
@@ -58,6 +66,7 @@ class StepConfig:
     sqrtm_impl: str = "xla"  # 'xla' | 'pallas' (fused VMEM-resident NS chain)
     maxpool_impl: str = "xla"  # 'xla' | 'pallas' (fused pool fwd/bwd kernel)
     remat: bool = False
+    cast_layer: int = 0  # first trunk layer run in compute_dtype (see vgg.py)
 
     @property
     def all_layers(self) -> Tuple[int, ...]:
@@ -91,6 +100,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
         return extract_features(
             params, image, cfg.all_layers, pooling=cfg.pooling,
             compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
+            cast_layer=cfg.cast_layer,
         )
 
     if cfg.remat:
@@ -235,12 +245,175 @@ def make_adam_runner(cfg: StepConfig, mesh=None):
     return run
 
 
+class LBFGSState(NamedTuple):
+    """Fixed-size circular L-BFGS history (torch.optim.LBFGS semantics)."""
+
+    s_hist: jnp.ndarray  # (m, *image) past steps s_k = t_k * d_k
+    y_hist: jnp.ndarray  # (m, *image) past gradient differences
+    rho: jnp.ndarray  # (m,) 1 / (y_k . s_k)
+    num_old: jnp.ndarray  # i32: valid history entries
+    head: jnp.ndarray  # i32: index of the oldest entry (circular)
+    d: jnp.ndarray  # (*image) last search direction
+    t: jnp.ndarray  # f32: last step length
+    prev_grad: jnp.ndarray  # (*image)
+    h_diag: jnp.ndarray  # f32: initial Hessian scaling
+    n_iter: jnp.ndarray  # i32: global iteration count
+
+
+_LBFGS_MEMORY = 10
+_LBFGS_TOL_GRAD = 1e-7
+_LBFGS_TOL_CHANGE = 1e-9
+_LBFGS_YS_MIN = 1e-10
+
+
+def lbfgs_init(image, memory_size: int = _LBFGS_MEMORY) -> LBFGSState:
+    # Distinct zero buffers per leaf: the runner donates the state, and a
+    # buffer shared across leaves cannot be donated twice.
+    return LBFGSState(
+        s_hist=jnp.zeros((memory_size, *image.shape), image.dtype),
+        y_hist=jnp.zeros((memory_size, *image.shape), image.dtype),
+        rho=jnp.zeros((memory_size,), jnp.float32),
+        num_old=jnp.zeros((), jnp.int32),
+        head=jnp.zeros((), jnp.int32),
+        d=jnp.zeros_like(image),
+        t=jnp.zeros((), jnp.float32),
+        prev_grad=jnp.zeros_like(image),
+        h_diag=jnp.ones((), jnp.float32),
+        n_iter=jnp.zeros((), jnp.int32),
+    )
+
+
+def _vdot(a, b):
+    return jnp.vdot(a.astype(jnp.float32), b.astype(jnp.float32))
+
+
+def _lbfgs_direction(state: LBFGSState, g, lr: float):
+    """One torch-semantics L-BFGS direction/step-length computation.
+
+    Matches ``torch.optim.LBFGS`` with ``max_iter=1, history_size=m,
+    line_search_fn=None`` (the reference's configuration, ref
+    style_transfer.py:464-467): history update gated on ``ys > 1e-10``,
+    two-loop recursion seeded with ``h_diag = ys / yy``, first-iteration
+    step length ``min(1, 1/sum|g|) * lr``, then ``lr``.
+    """
+    m = state.s_hist.shape[0]
+    first = state.n_iter == 0
+
+    # --- history update (skipped on the first iteration) -----------------
+    y = g - state.prev_grad
+    s = state.d * state.t
+    ys = _vdot(y, s)
+    insert = jnp.logical_and(jnp.logical_not(first), ys > _LBFGS_YS_MIN)
+    slot = (state.head + state.num_old) % m
+    upd = insert.astype(state.s_hist.dtype)
+    s_hist = state.s_hist.at[slot].set(
+        upd * s + (1 - upd) * state.s_hist[slot]
+    )
+    y_hist = state.y_hist.at[slot].set(
+        upd * y + (1 - upd) * state.y_hist[slot]
+    )
+    rho = state.rho.at[slot].set(
+        jnp.where(insert, 1.0 / jnp.maximum(ys, _LBFGS_YS_MIN), state.rho[slot])
+    )
+    full = state.num_old == m
+    num_old = jnp.where(
+        insert, jnp.minimum(state.num_old + 1, m), state.num_old
+    )
+    head = jnp.where(jnp.logical_and(insert, full), (state.head + 1) % m,
+                     state.head)
+    h_diag = jnp.where(insert, ys / jnp.maximum(_vdot(y, y), 1e-30),
+                       state.h_diag)
+
+    # --- two-loop recursion ----------------------------------------------
+    def phys(j):
+        return (head + j) % m
+
+    def rev_body(k, carry):
+        q, al = carry
+        j = m - 1 - k  # logical index, newest -> oldest
+        i = phys(j)
+        active = (j < num_old).astype(jnp.float32)
+        a_j = active * rho[i] * _vdot(s_hist[i], q)
+        q = q - a_j * y_hist[i]
+        return q, al.at[j].set(a_j)
+
+    q0 = -g
+    q, al = jax.lax.fori_loop(
+        0, m, rev_body, (q0, jnp.zeros((m,), jnp.float32))
+    )
+    r0 = q * h_diag
+
+    def fwd_body(j, r):
+        i = phys(j)
+        active = (j < num_old).astype(jnp.float32)
+        be = active * rho[i] * _vdot(y_hist[i], r)
+        return r + active * (al[j] - be) * s_hist[i]
+
+    r = jax.lax.fori_loop(0, m, fwd_body, r0)
+
+    d = jnp.where(first, -g, r)
+    t = jnp.where(
+        first,
+        jnp.minimum(1.0, 1.0 / jnp.maximum(jnp.sum(jnp.abs(g)), 1e-30)) * lr,
+        lr,
+    ).astype(jnp.float32)
+    new_state = LBFGSState(
+        s_hist=s_hist, y_hist=y_hist, rho=rho, num_old=num_old, head=head,
+        d=d, t=t, prev_grad=g, h_diag=h_diag, n_iter=state.n_iter + 1,
+    )
+    return d, t, new_state
+
+
+def lbfgs_step(state: LBFGSState, image, g, lr: float):
+    """Returns (new_image, new_state) for one reference-flavor iteration."""
+    opt_cond = jnp.max(jnp.abs(g)) <= _LBFGS_TOL_GRAD
+    d, t, new_state = _lbfgs_direction(state, g, lr)
+    gtd = _vdot(g, d)
+    take = jnp.logical_and(jnp.logical_not(opt_cond), gtd <= -_LBFGS_TOL_CHANGE)
+    new_image = image + take.astype(image.dtype) * t * d
+    # If converged (opt_cond), torch returns before touching any state.
+    new_state = jax.tree.map(
+        lambda frozen, nxt: jnp.where(opt_cond, frozen, nxt), state, new_state
+    )
+    return new_image, new_state
+
+
 def make_lbfgs_runner(cfg: StepConfig, mesh=None):
+    """Reference-flavor L-BFGS chunk runner.
+
+    Matches the reference's ``optim.LBFGS(max_iter=1, history_size=10)`` with
+    default lr=1.0 and NO line search (ref style_transfer.py:464-467): a
+    two-loop recursion over a fixed 10-deep (s, y) history, fixed step
+    length, no box clamp mid-run (ref :482-485 skips the clamp for lbfgs).
+    Implemented as an explicit fixed-shape circular buffer so the whole chunk
+    scans inside one XLA program. ``cfg.step_size`` is ignored (the reference
+    passes no lr to LBFGS — torch default 1.0).
+    """
+    loss_fn = build_loss_fn(cfg, mesh)
+
+    def init(image, params, consts):
+        return lbfgs_init(image)
+
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(2,))
+    def run(params, consts, state: LoopState, n_steps: int):
+        def step(carry: LoopState, _):
+            loss, g = jax.value_and_grad(loss_fn)(carry.image, params, consts)
+            image, opt_state = lbfgs_step(carry.opt, carry.image, g, lr=1.0)
+            image = constrain_image(image, mesh)
+            ema = ema_update(carry.ema, image, cfg.avg_decay)
+            return LoopState(image=image, opt=opt_state, ema=ema), loss
+
+        return jax.lax.scan(step, state, None, length=n_steps)
+
+    return run, init
+
+
+def make_lbfgs_zoom_runner(cfg: StepConfig, mesh=None):
     """L-BFGS chunk runner (optax.lbfgs, memory 10, zoom linesearch).
 
-    Parity with the reference's ``optim.LBFGS(max_iter=1, history_size=10)``
-    path (ref :464-467): one quasi-Newton step per iteration, no box clamp
-    (clamping mid-run corrupts the L-BFGS history, ref :482-485).
+    A stronger-per-iteration alternative to the reference's fixed-step
+    L-BFGS (see :func:`make_lbfgs_runner`); each iteration runs a zoom line
+    search, so it costs several extra forward passes.
     """
     import optax
 

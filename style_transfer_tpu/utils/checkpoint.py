@@ -14,12 +14,30 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "pack_rng_state", "unpack_rng_state"]
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
-def save_checkpoint(path, *, image, adam, ema, scale_index, done_iters, meta=None):
+def pack_rng_state(rng):
+    """np.random.RandomState -> JSON-safe header dict + uint32 key array."""
+    kind, keys, pos, has_gauss, cached = rng.get_state()
+    return (
+        {"kind": kind, "pos": int(pos), "has_gauss": int(has_gauss),
+         "cached_gaussian": float(cached)},
+        np.asarray(keys, np.uint32),
+    )
+
+
+def unpack_rng_state(rng, header, keys):
+    rng.set_state((
+        header["kind"], np.asarray(keys, np.uint32), int(header["pos"]),
+        int(header["has_gauss"]), float(header["cached_gaussian"]),
+    ))
+
+
+def save_checkpoint(path, *, image, adam, ema, scale_index, done_iters,
+                    meta=None, optimizer="adam", rng=None):
     """Atomically write the optimization state to ``path`` (.npz)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -28,6 +46,7 @@ def save_checkpoint(path, *, image, adam, ema, scale_index, done_iters, meta=Non
         "version": _FORMAT_VERSION,
         "scale_index": int(scale_index),
         "done_iters": int(done_iters),
+        "optimizer": optimizer,
         "meta": meta or {},
     }
     arrays = {
@@ -37,8 +56,12 @@ def save_checkpoint(path, *, image, adam, ema, scale_index, done_iters, meta=Non
         "adam_count": np.asarray(adam.count),
         "ema_value": np.asarray(ema.value),
         "ema_accum": np.asarray(ema.accum),
-        "header": np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
     }
+    if rng is not None:
+        rng_header, rng_keys = pack_rng_state(rng)
+        header["rng"] = rng_header
+        arrays["rng_keys"] = rng_keys
+    arrays["header"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
     tmp.replace(path)
@@ -49,7 +72,8 @@ def load_checkpoint(path):
     with np.load(path) as f:
         out = {k: f[k] for k in f.files}
     header = json.loads(bytes(out.pop("header")).decode())
-    if header.get("version") != _FORMAT_VERSION:
+    if header.get("version") not in (1, _FORMAT_VERSION):
         raise ValueError(f"unsupported checkpoint version: {header.get('version')}")
+    header.setdefault("optimizer", "adam")
     out.update(header)
     return out

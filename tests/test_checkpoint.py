@@ -65,6 +65,120 @@ def test_resume_matches_uninterrupted(tmp_path, content_pil, style_pil):
     np.testing.assert_array_equal(img_a, img_c)
 
 
+def test_rng_state_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    img = np.zeros((1, 4, 4, 3), np.float32)
+    adam = AdamState(mu=img, nu=img, count=np.asarray(1, np.int32))
+    ema = EMAState(value=img, accum=np.asarray(0.5, np.float32))
+    rng.rand(100)  # advance
+    expected_next = np.random.RandomState(0)
+    expected_next.rand(100)
+
+    p = tmp_path / "ck.npz"
+    save_checkpoint(p, image=img, adam=adam, ema=ema, scale_index=0,
+                    done_iters=1, rng=rng)
+    ck = load_checkpoint(p)
+
+    from style_transfer_tpu.utils.checkpoint import unpack_rng_state
+
+    fresh = np.random.RandomState(99)
+    unpack_rng_state(fresh, ck["rng"], ck["rng_keys"])
+    np.testing.assert_array_equal(fresh.rand(5), expected_next.rand(5))
+
+
+def test_resume_refuses_optimizer_mismatch(tmp_path, content_pil, style_pil):
+    ck = tmp_path / "ck.npz"
+    st = StyleTransfer(devices=1, weights=PARAMS, callback_chunk=5)
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               iterations=5, initial_iterations=5, checkpoint=str(ck))
+    st2 = StyleTransfer(devices=1, weights=PARAMS, callback_chunk=5)
+    with pytest.raises(ValueError, match="optimizer"):
+        st2.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+                    iterations=5, initial_iterations=5,
+                    optimizer="lbfgs", checkpoint=str(ck), resume=True)
+
+
+def test_resume_refuses_changed_geometry(tmp_path, content_pil, style_pil):
+    ck = tmp_path / "ck.npz"
+    st = StyleTransfer(devices=1, weights=PARAMS, callback_chunk=5)
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               iterations=5, initial_iterations=5, checkpoint=str(ck))
+    st2 = StyleTransfer(devices=1, weights=PARAMS, callback_chunk=5)
+    with pytest.raises(ValueError, match="does not match|out of range"):
+        st2.stylize(content_pil, [style_pil], min_scale=96, end_scale=96,
+                    iterations=5, initial_iterations=5,
+                    checkpoint=str(ck), resume=True)
+
+
+def test_lbfgs_checkpoint_warns_and_skips(tmp_path, content_pil, style_pil, capsys):
+    ck = tmp_path / "ck.npz"
+    st = StyleTransfer(devices=1, weights=PARAMS, callback_chunk=5)
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               iterations=5, initial_iterations=5,
+               optimizer="lbfgs", checkpoint=str(ck))
+    assert "checkpoint" in capsys.readouterr().out.lower()
+    assert not ck.is_file()
+
+
+@pytest.mark.slow
+def test_cross_process_resume(tmp_path, content_pil, style_pil):
+    """Save in one interpreter, resume in a fresh one (VERDICT r1 #8): the
+    resumed trajectory must match an uninterrupted in-process run exactly."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    kw = dict(min_scale=64, end_scale=64, iterations=20, initial_iterations=20)
+    st_a = StyleTransfer(devices=1, weights=PARAMS, callback_chunk=10)
+    img_a = np.asarray(st_a.stylize(content_pil, [style_pil], **kw))
+
+    content_path = tmp_path / "c.png"
+    style_path = tmp_path / "s.png"
+    content_pil.save(content_path)
+    style_pil.save(style_path)
+    ck = tmp_path / "ck.npz"
+    out = tmp_path / "resumed.npy"
+
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from PIL import Image
+from style_transfer_tpu.engine import StyleTransfer
+from style_transfer_tpu.models.weights import random_params
+
+kw = dict(min_scale=64, end_scale=64, iterations=20, initial_iterations=20,
+          checkpoint={str(ck)!r})
+st = StyleTransfer(devices=1, weights=random_params(0), callback_chunk=10)
+content = Image.open({str(content_path)!r})
+style = Image.open({str(style_path)!r})
+phase = {'{phase}'!r}
+if phase == "save":
+    class Stop(Exception): pass
+    def interrupt(it):
+        if it.i >= 10: raise Stop
+    try:
+        st.stylize(content, [style], callback=interrupt, **kw)
+    except Stop:
+        pass
+else:
+    img = np.asarray(st.stylize(content, [style], resume=True, **kw))
+    np.save({str(out)!r}, img)
+"""
+    repo = Path(__file__).resolve().parent.parent
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+    for phase in ("save", "resume"):
+        proc = subprocess.run(
+            [sys.executable, "-c", script.replace("{phase}", phase)],
+            env=env, capture_output=True, text=True, timeout=560,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+    np.testing.assert_array_equal(img_a, np.load(out))
+
+
 def test_resume_skips_completed_scales(tmp_path, content_pil, style_pil):
     ck = tmp_path / "ck.npz"
     st = StyleTransfer(devices=1, weights=PARAMS, callback_chunk=10)
