@@ -78,13 +78,30 @@ def normalize(x):
     return (x - mean) / std
 
 
+def _conv_first(x, kernel, bias):
+    """conv1_1 as an explicit im2col matmul (replicate pad, ref :38-39).
+
+    A 3-input-channel convolution is a degenerate case for XLA:TPU's conv
+    emitters (measured 0.8 TF/s at 512px, bracketed by full-tensor layout
+    copies — the single worst op in the step). Building the 27-column im2col
+    matrix with static slices and contracting it as a plain 2D matmul runs
+    on the MXU at matmul efficiency at every scale, and lets ReLU fuse into
+    the matmul epilogue.
+    """
+    xp = replicate_pad2d(x, 1)
+    n, hp, wp, c = xp.shape
+    h, w = hp - 2, wp - 2
+    cols = [xp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)]
+    xcol = jnp.concatenate(cols, axis=-1).reshape(n * h * w, 9 * c)
+    kcol = kernel.reshape(9 * c, -1).astype(x.dtype)
+    y = jnp.dot(xcol, kcol)
+    return y.reshape(n, h, w, -1) + bias.astype(x.dtype)
+
+
 def _conv(x, kernel, bias, first: bool):
     if first:
-        # Replicate padding on conv1_1 (ref :38-39) => explicit edge pad + VALID.
-        x = replicate_pad2d(x, 1)
-        padding = "VALID"
-    else:
-        padding = "SAME"
+        return _conv_first(x, kernel, bias)
+    padding = "SAME"
     # No preferred_element_type here: the TPU MXU already accumulates bf16
     # convolutions in f32 internally, and a widened output dtype would break
     # the conv transpose (backward) rule under mixed precision.

@@ -121,6 +121,17 @@ def _eye_like(x):
     return jnp.broadcast_to(jnp.eye(x.shape[-1], dtype=x.dtype), x.shape)
 
 
+def _trace(m):
+    """Batched trace as a masked sum.
+
+    ``jnp.diagonal``'s reverse-mode transpose is a scatter-add, which on TPU
+    materializes the cotangent through a scatter fusion plus layout copies
+    (~0.8 ms/iter at 512px). ``sum(m * I)`` has a broadcast-multiply
+    transpose instead.
+    """
+    return jnp.sum(m * _eye_like(m), axis=(-2, -1))
+
+
 def w2_target(mean, srm, eps: float = 1e-4, sqrtm_iters: int = 12) -> W2Target:
     """Finalize a blended (mean, srm) pair into a W2Target (ref :152-160).
 
@@ -154,10 +165,8 @@ def w2_loss(feats, target: W2Target, eps: float = 1e-4, sqrtm_iters: int = 12):
         preferred_element_type=jnp.float32,
     )
     sqrt_term = sqrtm_ns_lyap(inner, sqrtm_iters)
-    cov_diff = jnp.mean(
-        jnp.diagonal(target.cov + cov - 2.0 * sqrt_term, axis1=-2, axis2=-1)
-    )
-    return mean_diff + cov_diff
+    cov_diff = _trace(target.cov + cov - 2.0 * sqrt_term) / cov.shape[-1]
+    return mean_diff + jnp.mean(cov_diff)
 
 
 def w2_losses_batched(means, covs, target: W2Target, sqrtm_iters: int = 12,
@@ -179,10 +188,7 @@ def w2_losses_batched(means, covs, target: W2Target, sqrtm_iters: int = 12,
         preferred_element_type=jnp.float32,
     )
     sqrt_term = (sqrtm_fn or sqrtm_ns_lyap)(inner, sqrtm_iters)
-    cov_diff = jnp.mean(
-        jnp.diagonal(target.cov + covs - 2.0 * sqrt_term, axis1=-2, axis2=-1),
-        axis=-1,
-    )
+    cov_diff = _trace(target.cov + covs - 2.0 * sqrt_term) / covs.shape[-1]
     return mean_diff + cov_diff
 
 

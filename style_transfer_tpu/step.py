@@ -67,6 +67,13 @@ class StepConfig:
     maxpool_impl: str = "xla"  # 'xla' | 'pallas' (fused pool fwd/bwd kernel)
     remat: bool = False
     cast_layer: int = 0  # first trunk layer run in compute_dtype (see vgg.py)
+    # Banded (halo-slab) trunk evaluation for print-resolution scales: the
+    # loss decomposes over horizontal bands, so each band runs the trunk on
+    # a receptive-field-haloed slab XLA can compile without internal tiling
+    # (ops/banded.py). 0/1 = monolithic; >= 2 = number of bands. Single-mesh
+    # only (the sharded path splits tensors across chips instead).
+    n_bands: int = 0
+    band_halo: int = 0  # 0 => receptive_halo(all tapped layers)
 
     @property
     def all_layers(self) -> Tuple[int, ...]:
@@ -109,9 +116,10 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
     if cfg.style_loss not in ("w2", "gram"):
         raise ValueError(f"unknown style_loss {cfg.style_loss!r}")
 
-    def w2_total(feats, consts):
-        """W2 style terms, grouped by channel count so same-C layers run
-        their Newton-Schulz chains as one batched matmul sequence."""
+    def w2_total(moments, consts):
+        """W2 style terms from per-layer (mean, srm) moments, grouped by
+        channel count so same-C layers run their Newton-Schulz chains as one
+        batched matmul sequence."""
         groups = {}
         for layer, w in zip(cfg.style_layers, cfg.style_layer_weights):
             c = consts["style"][layer].mean.shape[-1]
@@ -124,7 +132,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
         for c, items in groups.items():
             means, covs, t_mean, t_cov, t_cs, weights = [], [], [], [], [], []
             for layer, w in items:
-                mean, srm = L.w2_moments(feats[layer])
+                mean, srm = moments[layer]
                 means.append(mean[0])
                 covs.append(L.moments_to_cov(mean, srm, cfg.w2_eps)[0])
                 tgt = consts["style"][layer]
@@ -142,22 +150,57 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
             total += jnp.sum(losses * jnp.asarray(weights, jnp.float32))
         return total
 
-    def loss_fn(image, params, consts):
-        image = constrain_image(image, mesh)
-        feats = features(params, image)
-        content_fn = L.content_mse if cfg.content_loss == "mse" else L.content_scaled
+    def style_total(moments, consts):
+        if cfg.style_loss == "w2":
+            return w2_total(moments, consts)
+        # Gram: the reference's per-pixel-normalized Gram matrix equals the
+        # second raw moment, so both style losses share the moments path.
+        total = jnp.asarray(0.0, jnp.float32)
+        for layer, w in zip(cfg.style_layers, cfg.style_layer_weights):
+            _, srm = moments[layer]
+            total += w * L.scaled_mse(srm, consts["style"][layer])
+        return total
+
+    def content_total(content_acc):
         total = jnp.asarray(0.0, jnp.float32)
         for layer, w in zip(cfg.content_layers, cfg.content_weights):
-            total += w * content_fn(feats[layer], consts["content"][layer])
-        if cfg.style_loss == "w2":
-            total += w2_total(feats, consts)
-        elif cfg.style_loss == "gram":
-            for layer, w in zip(cfg.style_layers, cfg.style_layer_weights):
-                total += w * L.gram_loss(feats[layer], consts["style"][layer])
-        else:
-            raise ValueError(f"unknown style_loss {cfg.style_loss!r}")
-        total += cfg.tv_weight * L.tv_loss(feats[INPUT])
+            sse, sabs, cnt = content_acc[layer]
+            if cfg.content_loss == "mse":
+                total += w * sse / cnt
+            else:  # ScaledMSE (ref :93-106)
+                total += w * sse / (sabs + 1e-8)
         return total
+
+    use_bands = cfg.n_bands >= 2 and mesh is None
+
+    def loss_fn(image, params, consts):
+        image = constrain_image(image, mesh)
+        if use_bands:
+            from .ops.banded import banded_stats, receptive_halo
+
+            slab_fn = lambda slab: features(params, slab)  # noqa: E731
+            moments, content_acc = banded_stats(
+                slab_fn, image,
+                style_layers=cfg.style_layers,
+                content_layers=cfg.content_layers,
+                content_targets=consts["content"],
+                n_bands=cfg.n_bands,
+                halo=cfg.band_halo or receptive_halo(cfg.all_layers),
+            )
+            tv = L.tv_loss(image)
+        else:
+            feats = features(params, image)
+            moments = {l: L.w2_moments(feats[l]) for l in cfg.style_layers}
+            content_acc = {}
+            for layer in cfg.content_layers:
+                diff = (feats[layer].astype(jnp.float32)
+                        - consts["content"][layer].astype(jnp.float32))
+                content_acc[layer] = (
+                    jnp.sum(jnp.square(diff)), jnp.sum(jnp.abs(diff)), diff.size
+                )
+            tv = L.tv_loss(feats[INPUT])
+        return (content_total(content_acc) + style_total(moments, consts)
+                + cfg.tv_weight * tv)
 
     return loss_fn
 

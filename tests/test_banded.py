@@ -1,0 +1,111 @@
+"""Banded (halo-slab) loss path == monolithic loss path.
+
+The banded trunk (ops/banded.py) must reproduce the monolithic objective and
+its gradient exactly (up to float reassociation): the crop logic guarantees
+every owned feature row is computed from uncontaminated context.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from style_transfer_tpu.models.vgg import extract_features
+from style_transfer_tpu.models.weights import random_params
+from style_transfer_tpu.ops import losses as L
+from style_transfer_tpu.ops.banded import band_bounds, pool_stride, receptive_halo
+from style_transfer_tpu.step import StepConfig, build_loss_fn
+
+
+def test_receptive_halo_values():
+    # conv1_1..relu1_1: radius 1 -> quantum-rounded to 16.
+    assert receptive_halo([1]) == 16
+    # Full default stack to relu5_1: RF size 156 -> radius 78 -> 80.
+    assert receptive_halo([1, 6, 11, 20, 29]) == 80
+    assert receptive_halo([22]) == 48  # relu4_2: size 100 -> radius 50 -> 64? no: 48
+    # sanity: halos are pool-grid multiples
+    for layers in ([1], [6], [11], [20], [22], [29]):
+        assert receptive_halo(layers) % 16 == 0
+
+
+def test_band_bounds_alignment():
+    bounds = band_bounds(2172, 4)
+    assert bounds[0] == 0 and bounds[-1] == 2172
+    assert all(b % 16 == 0 for b in bounds[1:-1])
+    assert len(bounds) == 5
+    # Degenerate: more bands than quanta collapses gracefully.
+    assert band_bounds(48, 9) == (0, 16, 32, 48)
+    assert band_bounds(20, 3) == (0, 20)
+
+
+def test_pool_stride():
+    assert pool_stride(1) == 1
+    assert pool_stride(6) == 2
+    assert pool_stride(11) == 4
+    assert pool_stride(20) == 8
+    assert pool_stride(22) == 8
+    assert pool_stride(29) == 16
+
+
+def _consts(params, cfg, content, style):
+    cf = extract_features(params, content, cfg.content_layers)
+    sf = extract_features(params, style, cfg.style_layers)
+    if cfg.style_loss == "w2":
+        style_consts = {
+            l: L.w2_target(*L.w2_moments(sf[l]), cfg.w2_eps, cfg.sqrtm_iters)
+            for l in cfg.style_layers
+        }
+    else:
+        style_consts = {l: L.gram_matrix(sf[l]) for l in cfg.style_layers}
+    return {
+        "content": {l: cf[l] for l in cfg.content_layers},
+        "style": style_consts,
+    }
+
+
+@pytest.mark.parametrize(
+    "style_loss,content_loss",
+    [("w2", "mse"), ("gram", "scaled")],
+)
+def test_banded_matches_monolithic(style_loss, content_loss):
+    rng = np.random.RandomState(0)
+    h, w = 256, 96
+    params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
+    image = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    content = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    style = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+
+    base = StepConfig(compute_dtype=None, style_loss=style_loss,
+                      content_loss=content_loss)
+    consts = _consts(params, base, content, style)
+
+    # halo 80 with 2 bands of 128 rows: slabs [0,208) and [48,256) — both
+    # interior slab edges really exercise the crop.
+    banded = StepConfig(compute_dtype=None, style_loss=style_loss,
+                        content_loss=content_loss, n_bands=2)
+    loss_m = build_loss_fn(base)
+    loss_b = build_loss_fn(banded)
+
+    lm, gm = jax.value_and_grad(loss_m)(image, params, consts)
+    lb, gb = jax.value_and_grad(loss_b)(image, params, consts)
+    np.testing.assert_allclose(lb, lm, rtol=2e-5)
+    np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
+
+
+def test_banded_remat_matches():
+    rng = np.random.RandomState(1)
+    params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
+    image = jnp.asarray(rng.rand(1, 256, 96, 3).astype(np.float32))
+    content = jnp.asarray(rng.rand(1, 256, 96, 3).astype(np.float32))
+    style = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    base = StepConfig(compute_dtype=None)
+    consts = _consts(params, base, content, style)
+    banded = StepConfig(compute_dtype=None, n_bands=3, remat=True)
+    lm, gm = jax.value_and_grad(jax.jit(build_loss_fn(base)))(
+        image, params, consts)
+    lb, gb = jax.value_and_grad(jax.jit(build_loss_fn(banded)))(
+        image, params, consts)
+    np.testing.assert_allclose(lb, lm, rtol=2e-5)
+    # Recompute-for-backward reorders float ops; near-zero gradient elements
+    # see absolute noise ~1e-6.
+    np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=3e-6)
