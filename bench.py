@@ -38,7 +38,7 @@ def main():
     enable_persistent_cache()
     compute_dtype = "bfloat16" if dev.platform == "tpu" else None
     sqrtm_impl = "pallas" if dev.platform == "tpu" else "xla"
-    maxpool_impl = "paired" if dev.platform == "tpu" else "xla"
+    maxpool_impl = "auto" if dev.platform == "tpu" else "xla"
     runner, params, consts, state = g._build(
         n_h=SIZE, n_w=SIZE, compute_dtype=compute_dtype, sqrtm_impl=sqrtm_impl,
         maxpool_impl=maxpool_impl,

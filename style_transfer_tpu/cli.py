@@ -205,6 +205,9 @@ def build_parser(stylize_fn):
     p.add_argument("--remat", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="rematerialize the trunk in backward (memory vs compute)")
+    p.add_argument("--bands", type=str, default="auto",
+                   help="horizontal bands for the banded trunk at print "
+                        "sizes (auto, off, or a count; see ops/banded.py)")
     p.add_argument("--align", **arg_info("align"),
                    help="round optimization dims to a multiple (1 = exact "
                         "reference sizing; 8/16 avoids odd pooling cascades "
@@ -274,6 +277,9 @@ def main(argv=None):
 
     print("Loading model...")
     remat = {"auto": None, "on": True, "off": False}[args.remat]
+    n_bands = {"auto": None, "off": 0}.get(args.bands, args.bands)
+    if isinstance(n_bands, str):
+        n_bands = int(n_bands)
     precision = {"auto": "auto", "bf16": "bfloat16", "f32": "float32"}[args.precision]
     st = StyleTransfer(
         devices=devices,
@@ -284,6 +290,7 @@ def main(argv=None):
         content_loss=args.content_loss,
         sqrtm_impl=args.sqrtm,
         remat=remat,
+        n_bands=n_bands,
         callback_chunk=args.callback_chunk,
     )
     st.seed(args.random_seed)

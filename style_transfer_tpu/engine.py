@@ -158,6 +158,8 @@ class StyleTransfer:
       style_loss: 'w2' (default, reference behavior) or 'gram'.
       remat: None = auto (rematerialize the trunk only above ~14 Mpx, where
         activations would not fit HBM; remat is slower otherwise), or bool.
+      n_bands: banded halo-slab trunk (ops/banded.py); None/0 = monolithic
+        (measured faster on v5e), or an explicit band count (memory knob).
       callback_chunk: iterations fused per device round-trip. Telemetry is
         emitted per iteration, but wall-times within a chunk are interpolated.
     """
@@ -173,6 +175,7 @@ class StyleTransfer:
         content_loss: str = "mse",
         sqrtm_impl: str = "auto",
         remat: Optional[bool] = None,
+        n_bands: Optional[int] = None,
         callback_chunk: int = 50,
     ):
         if devices is None:
@@ -206,6 +209,7 @@ class StyleTransfer:
         self.sqrtm_impl = sqrtm_impl
         self._is_tpu = self.devices[0].platform == "tpu"
         self.remat = remat
+        self.n_bands = n_bands
         self.callback_chunk = int(callback_chunk)
 
         # Default layer configuration (Gatys et al. 2015 taps, reference
@@ -273,10 +277,29 @@ class StyleTransfer:
     # ------------------------------------------------------------ internals
 
     def _maxpool_impl(self, h, w) -> str:
-        # 'paired' (H-pair max + lane-merged W-pair max) beats
-        # select_and_scatter at small sizes (-3% at 512px) but its
-        # (W,C)->(W/2,2C) relayout loses at print sizes (+27% at 2896px).
-        return "paired" if self._is_tpu and h * w <= 750_000 else "xla"
+        # 'auto' resolves per pool inside the trunk: 'paired' (H-pair max +
+        # lane-merged W-pair max) beats select_and_scatter below ~750k px,
+        # but its (W,C)->(W/2,2C) relayout loses on giant tensors — at print
+        # sizes the early pools pick 'xla' and the deep pools 'paired'.
+        del h, w
+        return "auto" if self._is_tpu else "xla"
+
+    # Hybrid banding (ops/banded.py) engages where XLA's giant-tensor conv
+    # tiling dominates. Measured at 2896x2172 (v5e): full-trunk banding
+    # LOSES (80 px halo recompute, 317-380 ms vs 286 monolithic); the
+    # pool2-cut hybrid WINS at ~0.5 Mpx slabs (12 bands: 245 ms; 9: 251;
+    # 16: 259; 4: 313).
+    _BAND_MIN_PX = 4_500_000
+    _BAND_SLAB_PX = 520_000
+
+    def _n_bands(self, h, w) -> int:
+        if not self._is_tpu or self.mesh is not None:
+            return 0  # sharding already splits tensors below the threshold
+        if self.n_bands is not None:
+            return int(self.n_bands)
+        if h * w < self._BAND_MIN_PX:
+            return 0
+        return min(max(2, round(h * w / self._BAND_SLAB_PX)), h // 16)
 
     def _auto_remat(self, h, w) -> bool:
         if self.remat is not None:
@@ -615,6 +638,7 @@ class StyleTransfer:
                 content_loss=self.content_loss,
                 sqrtm_impl=self.sqrtm_impl,
                 maxpool_impl=self._maxpool_impl(ch, cw),
+                n_bands=self._n_bands(ch, cw),
                 pooling=self.pooling,
                 compute_dtype=self.compute_dtype,
                 step_size=step_size,
@@ -671,6 +695,7 @@ class StyleTransfer:
                         cfg,
                         remat=self._auto_remat(ch2, cw2),
                         maxpool_impl=self._maxpool_impl(ch2, cw2),
+                        n_bands=self._n_bands(ch2, cw2),
                     ),
                     ch2, cw2, iterations,
                 )

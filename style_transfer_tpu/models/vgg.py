@@ -123,6 +123,7 @@ def extract_features(
     compute_dtype: Optional[jnp.dtype] = None,
     pool_impl: str = "xla",
     cast_layer: int = 0,
+    start_layer: int = 0,
 ):
     """Run the VGG-19 trunk up to the last requested layer.
 
@@ -137,6 +138,10 @@ def extract_features(
         run f32. On TPU the bf16 C=3 first conv hits a pathological
         T(2,128) layout (~0.8 TF/s measured) — ``cast_layer=1`` keeps
         conv1_1 in f32 where XLA handles the 3-channel input well.
+      start_layer: resume the trunk mid-stack — ``image`` is then the
+        activation *entering* ``start_layer`` (normalization, the INPUT tap
+        and the min-size guard are skipped; used by the banded halo-slab
+        path to continue from a materialized cut-point tensor).
 
     Returns:
       dict mapping ``INPUT`` (-1) -> the raw image and each tapped index -> its
@@ -144,25 +149,43 @@ def extract_features(
     """
     layers = sorted(set(int(l) for l in layers))
     last = layers[-1]
-    h, w = image.shape[1:3]
-    mins = min_input_size(layers)
-    if min(h, w) < mins:
-        raise ValueError(f"Input is {h}x{w} but must be at least {mins}x{mins}")
-
     pool_scale = POOLING_SCALES[pooling]
-    feats = {INPUT: image}
-    x = normalize(image)
-    if compute_dtype is not None and cast_layer == 0:
-        x = x.astype(compute_dtype)
+    if start_layer > 0:
+        feats = {}
+        x = image
+        if compute_dtype is not None and start_layer >= cast_layer:
+            x = x.astype(compute_dtype)
+    else:
+        h, w = image.shape[1:3]
+        mins = min_input_size(layers)
+        if min(h, w) < mins:
+            raise ValueError(
+                f"Input is {h}x{w} but must be at least {mins}x{mins}")
+        feats = {INPUT: image}
+        x = normalize(image)
+        if compute_dtype is not None and cast_layer == 0:
+            x = x.astype(compute_dtype)
 
     wanted = set(layers)
-    for i in range(last + 1):
+    for i in range(start_layer, last + 1):
         if compute_dtype is not None and i == cast_layer and cast_layer > 0:
             x = x.astype(compute_dtype)
         if i in _CONV_SET:
             x = _conv(x, params[f"conv{i}_kernel"], params[f"conv{i}_bias"], i == 0)
         elif i in _POOL_SET:
-            x = pool2x2(x, pooling, pool_impl)
+            impl = pool_impl
+            if impl == "auto":
+                # Per-pool choice from v5e measurements (PERF.md "maxpool
+                # saga"): paired wins on narrow, small tensors (512px step:
+                # all-paired -9% vs all-xla) and loses on wide or big ones
+                # (2896px: paired W>=1448 slab pools +50 ms/iter, paired
+                # mid-size C=256/512 pools +24 ms/iter) — decide on THIS
+                # pool's input.
+                h_, w_, c_ = x.shape[1:4]
+                small = w_ <= 1024 and h_ * w_ <= (750_000 if c_ <= 128
+                                                   else 100_000)
+                impl = "paired" if small else "xla"
+            x = pool2x2(x, pooling, impl)
             if pooling != "max":
                 # Swapping the pooling type changes activation scale; rescale
                 # like the reference does (ref :41-46).

@@ -1,9 +1,9 @@
 """Banded (halo-slab) trunk evaluation for print-resolution images.
 
-Why: at ~6 Mpx, XLA:TPU lowers the giant VGG convolutions to a tiled
-loop-and-accumulate strategy whose bookkeeping (inner while loops, layout
+Why: at ~6 Mpx, XLA:TPU lowers the giant early-block convolutions to tiled
+loop-and-accumulate programs whose bookkeeping (inner while loops, layout
 copies, dynamic-update-slice) costs more than the MXU work itself (PERF.md,
-"2896x2172 per-op profile"). The fix here exploits the structure of the
+"2896x2172 per-op profile"). The fix exploits the structure of the
 objective instead of fighting the tiler: every loss term the engine uses
 decomposes over horizontal bands of the image —
 
@@ -13,18 +13,26 @@ decomposes over horizontal bands of the image —
   accumulate against the matching target rows;
 * TV is elementwise on the raw image (computed unbanded — it is cheap).
 
-So the loss runs the *normal* trunk once per band on a slab that extends a
-receptive-field halo beyond the band, crops the contaminated margin, and
-accumulates. Each slab conv is a mid-size tensor XLA compiles without
-internal tiling. Correctness of the crop: zero/replicate padding at a slab
-edge only perturbs outputs within the receptive-field radius of that edge;
-owned rows sit exactly ``halo`` >= radius away, and slab edges that coincide
-with true image edges reproduce the monolithic padding bit-for-bit.
+The evaluation is **hybrid**: only the early trunk (through ``cut_layer``,
+default pool2 — where the giant tensors live) runs per-band, on a slab that
+extends a small receptive-field halo beyond the band. Taps inside the
+banded region accumulate their statistics per band; the cut-point
+activation's owned rows are concatenated into a full tensor (4x smaller
+than the image) from which the deep trunk — which XLA already compiles at
+near-peak — runs monolithically. Full-trunk banding (cut past the last tap)
+was measured first and LOSES: the 80 px full-depth halo costs 29-44%
+recompute; the pool2 cut needs only 16 px.
+
+Correctness of the crop: padding at a slab edge only perturbs outputs
+within the receptive-field radius of that edge; owned rows sit >= ``halo``
+away, and slab edges that coincide with true image edges reproduce the
+monolithic padding bit-for-bit. Band starts align to the pooling grid, so
+in-slab pooling windows match the monolithic ones exactly.
 
 Gradients flow through the band slices natively (the adjoint of a static
-slice is pad-and-add), so ``jax.grad`` of the banded loss equals the
-monolithic gradient up to float reassociation. ``tests/test_banded.py``
-asserts both loss and grad equivalence.
+slice is pad-and-add; the adjoint of the cut concatenation is a slice), so
+``jax.grad`` of the banded loss equals the monolithic gradient up to float
+reassociation. ``tests/test_banded.py`` asserts loss and grad equivalence.
 """
 
 from typing import Dict, Sequence, Tuple
@@ -34,20 +42,27 @@ import jax.numpy as jnp
 
 from ..models.weights import CONV_INDICES, POOL_INDICES
 
-__all__ = ["receptive_halo", "band_bounds", "pool_stride", "banded_stats"]
+__all__ = [
+    "receptive_halo", "band_bounds", "pool_stride", "banded_stats",
+    "DEFAULT_CUT",
+]
 
-# Slab starts must align with the pooling grid of the deepest tap:
-# 2^(#pools before layer 29) = 16.
+# Slab starts must align with the pooling grid of the deepest banded layer;
+# 16 covers any cut (the full trunk has 4 pools before the last tap).
 _QUANTUM = 16
+
+# Default cut: pool2 (torchvision features index 9). Everything at stride
+# 1-2 — the giant tensors — is banded; stride >= 4 runs monolithic.
+DEFAULT_CUT = 9
 
 
 def pool_stride(layer: int) -> int:
-    """Cumulative downsampling factor at ``layer`` (2^#pools before it)."""
+    """Cumulative downsampling factor at ``layer``'s output."""
     return 2 ** sum(1 for p in POOL_INDICES if p <= layer)
 
 
 def receptive_halo(layers: Sequence[int]) -> int:
-    """Receptive-field radius (input px) of the deepest tapped layer,
+    """Receptive-field radius (input px) of the deepest given layer,
     rounded up to the pool-grid quantum.
 
     Standard size/jump recursion: each 3x3 conv grows the field by 2*jump,
@@ -80,75 +95,105 @@ def band_bounds(h: int, n_bands: int) -> Tuple[int, ...]:
     return tuple(bounds)
 
 
+def _owned(h, s, e, p):
+    """Feature rows of level-stride ``p`` owned by band [s, e) of an
+    ``h``-row image: start index within a slab beginning at ``s2`` is
+    ``(s - s2) // p`` (exact — slab starts are grid-aligned)."""
+    return (h // p) - (s // p) if e == h else (e - s) // p
+
+
 def banded_stats(
-    features_fn,
+    early_fn,
+    late_fn,
     image,
     *,
     style_layers: Sequence[int],
     content_layers: Sequence[int],
     content_targets: Dict[int, jnp.ndarray],
     n_bands: int,
-    halo: int,
+    cut_layer: int = DEFAULT_CUT,
+    halo: int = 0,
 ):
     """Accumulate loss statistics over halo-slabs of ``image``.
 
     Args:
-      features_fn: ``(image_slab) -> {layer: activation}`` — the trunk,
-        already closed over params/pooling/dtype (and optionally wrapped in
-        ``jax.checkpoint`` for O(slab) backward memory).
+      early_fn: ``(slab) -> {layer: activation}`` — the trunk through
+        ``cut_layer`` (must tap every style/content layer <= cut_layer and
+        ``cut_layer`` itself), closed over params/pooling/dtype.
+      late_fn: ``(cut_activation) -> {layer: activation}`` — the trunk from
+        ``cut_layer + 1`` on (taps every layer > cut_layer), or None when no
+        tap lies past the cut.
       image: (N, H, W, C) image.
       style_layers / content_layers: tapped torchvision indices.
       content_targets: {layer: (N, h_l, w_l, C_l)} full-image targets.
       n_bands: number of horizontal bands (>= 2 to be useful).
-      halo: input-px halo, >= receptive_halo(all tapped layers), multiple
-        of the pool quantum.
+      cut_layer: last banded layer (its output is re-assembled; default
+        pool2).
+      halo: input-px slab halo; 0 => receptive_halo of the banded layers.
 
     Returns:
-      (moments, content_acc) where moments[layer] = (mean (N,C), srm
-      (N,C,C)) over the full image in f32, and content_acc[layer] =
-      (sum_sq_err, sum_abs_err, n_elements) in f32.
+      (moments, content_acc): moments[layer] = (mean (N,C), srm (N,C,C))
+      over the full image in f32; content_acc[layer] = (sum_sq_err,
+      sum_abs_err, n_elements) in f32.
     """
-    h = image.shape[1]
+    h, w = image.shape[1:3]
+    early_style = [l for l in style_layers if l <= cut_layer]
+    early_content = [l for l in content_layers if l <= cut_layer]
+    if halo <= 0:
+        halo = receptive_halo(set(early_style) | set(early_content)
+                              | {cut_layer})
     bounds = band_bounds(h, n_bands)
-    sums = {l: None for l in style_layers}
-    outers = {l: None for l in style_layers}
-    content_sse = {l: None for l in content_layers}
-    content_abs = {l: None for l in content_layers}
-    content_cnt = {l: 0 for l in content_layers}
 
-    def _acc(tot, x):
-        return x if tot is None else tot + x
+    sums, outers = {}, {}
+    content_sse, content_abs, content_cnt = {}, {}, {}
 
+    def _acc(d, key, x):
+        d[key] = x if key not in d else d[key] + x
+
+    def _moment_update(layer, v):
+        vf = v.astype(jnp.float32)
+        _acc(sums, layer, jnp.sum(vf, axis=(1, 2)))
+        n, bh, bw, c = v.shape
+        mat = v.reshape(n, bh * bw, c)
+        _acc(outers, layer, jnp.einsum(
+            "npc,npd->ncd", mat, mat,
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32,
+        ))
+
+    def _content_update(layer, v, row0):
+        tgt = content_targets[layer][:, row0:row0 + v.shape[1]]
+        diff = v.astype(jnp.float32) - tgt.astype(jnp.float32)
+        _acc(content_sse, layer, jnp.sum(jnp.square(diff)))
+        _acc(content_abs, layer, jnp.sum(jnp.abs(diff)))
+        content_cnt[layer] = content_cnt.get(layer, 0) + diff.size
+
+    cut_parts = []
     for k in range(len(bounds) - 1):
         s, e = bounds[k], bounds[k + 1]
-        s2, e2 = max(0, s - halo), min(h, e + halo)
-        feats = features_fn(image[:, s2:e2])
-        for layer in set(style_layers) | set(content_layers):
+        s2 = max(0, s - halo)
+        e2 = min(h, e + halo)
+        feats = early_fn(image[:, s2:e2])
+        for layer in sorted(set(early_style) | set(early_content) | {cut_layer}):
             p = pool_stride(layer)
             fs = (s - s2) // p
-            owned = (h // p) - (s // p) if e == h else (e - s) // p
-            v = feats[layer][:, fs:fs + owned]
-            if layer in sums:
-                vf = v.astype(jnp.float32)
-                sums[layer] = _acc(sums[layer], jnp.sum(vf, axis=(1, 2)))
-                n, bh, bw, c = v.shape
-                mat = v.reshape(n, bh * bw, c)
-                outers[layer] = _acc(outers[layer], jnp.einsum(
-                    "npc,npd->ncd", mat, mat,
-                    precision=jax.lax.Precision.HIGH,
-                    preferred_element_type=jnp.float32,
-                ))
-            if layer in content_sse:
-                gs = s // p
-                tgt = content_targets[layer][:, gs:gs + owned]
-                diff = v.astype(jnp.float32) - tgt.astype(jnp.float32)
-                content_sse[layer] = _acc(content_sse[layer],
-                                          jnp.sum(jnp.square(diff)))
-                content_abs[layer] = _acc(content_abs[layer],
-                                          jnp.sum(jnp.abs(diff)))
-                content_cnt[layer] += diff.size
+            v = feats[layer][:, fs:fs + _owned(h, s, e, p)]
+            if layer in early_style:
+                _moment_update(layer, v)
+            if layer in early_content:
+                _content_update(layer, v, s // p)
+            if layer == cut_layer and late_fn is not None:
+                cut_parts.append(v)
 
-    w = image.shape[2]
+    if late_fn is not None:
+        feats2 = late_fn(jnp.concatenate(cut_parts, axis=1))
+        for layer in style_layers:
+            if layer > cut_layer:
+                _moment_update(layer, feats2[layer])
+        for layer in content_layers:
+            if layer > cut_layer:
+                _content_update(layer, feats2[layer], 0)
+
     moments = {}
     for layer in style_layers:
         p = pool_stride(layer)

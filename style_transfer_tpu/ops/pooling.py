@@ -79,17 +79,18 @@ def pool2x2(x, mode: str, impl: str = "xla"):
     """2x2 stride-2 pooling over NHWC, floor semantics on odd dims.
 
     ``l2`` follows ``nn.LPPool2d(2, 2)``: root of the *sum* (not mean) of
-    squares over the window. ``impl='pallas'`` (max mode only) uses the
-    fused kernel in ops/pallas/maxpool.py instead of reduce_window +
-    select_and_scatter.
+    squares over the window. ``impl`` selects the max-pool formulation
+    ('xla' reduce_window or 'paired'; extract_features resolves 'auto'
+    per-pool). A fused Pallas max-pool was built and measured in round 1 —
+    its (H,W,C)->(H,W/2,2C) boundary relayout cost more than the
+    select_and_scatter it saved (PERF.md "maxpool saga") — so the pure-XLA
+    paired formulation is the only alternative kept.
     """
     if mode == "max":
-        if impl == "pallas":
-            from .pallas.maxpool import max_pool2x2_pallas
-
-            return max_pool2x2_pallas(x)
         if impl == "paired":
             return max_pool2x2_paired(x)
+        if impl != "xla":
+            raise ValueError(f"unknown maxpool impl {impl!r}")
         return max_pool2x2(x)
     if mode == "average":
         s = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")

@@ -64,16 +64,18 @@ class StepConfig:
     w2_eps: float = 1e-4
     sqrtm_iters: int = 12
     sqrtm_impl: str = "xla"  # 'xla' | 'pallas' (fused VMEM-resident NS chain)
-    maxpool_impl: str = "xla"  # 'xla' | 'pallas' (fused pool fwd/bwd kernel)
+    maxpool_impl: str = "xla"  # 'xla' | 'paired' | 'auto' (per-pool choice)
     remat: bool = False
     cast_layer: int = 0  # first trunk layer run in compute_dtype (see vgg.py)
     # Banded (halo-slab) trunk evaluation for print-resolution scales: the
-    # loss decomposes over horizontal bands, so each band runs the trunk on
-    # a receptive-field-haloed slab XLA can compile without internal tiling
-    # (ops/banded.py). 0/1 = monolithic; >= 2 = number of bands. Single-mesh
-    # only (the sharded path splits tensors across chips instead).
+    # loss decomposes over horizontal bands, so the giant early-block
+    # tensors run per receptive-field-haloed slab while the deep trunk runs
+    # monolithically from the re-assembled cut activation (ops/banded.py).
+    # 0/1 = monolithic; >= 2 = number of bands. Single-mesh only (the
+    # sharded path splits tensors across chips instead).
     n_bands: int = 0
-    band_halo: int = 0  # 0 => receptive_halo(all tapped layers)
+    band_cut: int = 9  # last banded layer (9 = pool2); > last tap = full trunk
+    band_halo: int = 0  # 0 => receptive_halo of the banded layers
 
     @property
     def all_layers(self) -> Tuple[int, ...]:
@@ -176,16 +178,38 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
     def loss_fn(image, params, consts):
         image = constrain_image(image, mesh)
         if use_bands:
-            from .ops.banded import banded_stats, receptive_halo
+            from .ops.banded import banded_stats
 
-            slab_fn = lambda slab: features(params, slab)  # noqa: E731
+            cut = cfg.band_cut
+            early_taps = tuple(sorted(
+                {l for l in cfg.all_layers if l <= cut} | {cut}))
+            late_taps = tuple(l for l in cfg.all_layers if l > cut)
+
+            def early_fn(slab):
+                return extract_features(
+                    params, slab, early_taps, pooling=cfg.pooling,
+                    compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
+                    cast_layer=cfg.cast_layer,
+                )
+
+            def late_fn(x2):
+                return extract_features(
+                    params, x2, late_taps, pooling=cfg.pooling,
+                    compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
+                    start_layer=cut + 1,
+                )
+
+            if cfg.remat:
+                early_fn = jax.checkpoint(early_fn)
+                late_fn = jax.checkpoint(late_fn)
             moments, content_acc = banded_stats(
-                slab_fn, image,
+                early_fn, late_fn if late_taps else None, image,
                 style_layers=cfg.style_layers,
                 content_layers=cfg.content_layers,
                 content_targets=consts["content"],
                 n_bands=cfg.n_bands,
-                halo=cfg.band_halo or receptive_halo(cfg.all_layers),
+                cut_layer=cut,
+                halo=cfg.band_halo,
             )
             tv = L.tv_loss(image)
         else:

@@ -22,7 +22,7 @@ def test_receptive_halo_values():
     assert receptive_halo([1]) == 16
     # Full default stack to relu5_1: RF size 156 -> radius 78 -> 80.
     assert receptive_halo([1, 6, 11, 20, 29]) == 80
-    assert receptive_halo([22]) == 48  # relu4_2: size 100 -> radius 50 -> 64? no: 48
+    assert receptive_halo([22]) == 48  # relu4_2: RF size 84 -> radius 42 -> 48
     # sanity: halos are pool-grid multiples
     for layers in ([1], [6], [11], [20], [22], [29]):
         assert receptive_halo(layers) % 16 == 0
@@ -64,10 +64,15 @@ def _consts(params, cfg, content, style):
 
 
 @pytest.mark.parametrize(
-    "style_loss,content_loss",
-    [("w2", "mse"), ("gram", "scaled")],
+    "style_loss,content_loss,band_cut",
+    [
+        ("w2", "mse", 9),     # hybrid: band through pool2, deep trunk whole
+        ("gram", "scaled", 9),
+        ("w2", "mse", 29),    # cut past the last tap = full-trunk banding
+        ("w2", "mse", 18),    # cut at pool3: content layer 22 in stage 2
+    ],
 )
-def test_banded_matches_monolithic(style_loss, content_loss):
+def test_banded_matches_monolithic(style_loss, content_loss, band_cut):
     rng = np.random.RandomState(0)
     h, w = 256, 96
     params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
@@ -79,10 +84,12 @@ def test_banded_matches_monolithic(style_loss, content_loss):
                       content_loss=content_loss)
     consts = _consts(params, base, content, style)
 
-    # halo 80 with 2 bands of 128 rows: slabs [0,208) and [48,256) — both
-    # interior slab edges really exercise the crop.
+    # With 2 bands of 128 rows both interior slab edges really exercise
+    # the crop (hybrid halo 16: slabs [0,144) and [112,256); full-trunk
+    # halo 80: [0,208) and [48,256)).
     banded = StepConfig(compute_dtype=None, style_loss=style_loss,
-                        content_loss=content_loss, n_bands=2)
+                        content_loss=content_loss, n_bands=2,
+                        band_cut=band_cut)
     loss_m = build_loss_fn(base)
     loss_b = build_loss_fn(banded)
 
@@ -92,6 +99,7 @@ def test_banded_matches_monolithic(style_loss, content_loss):
     np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_banded_remat_matches():
     rng = np.random.RandomState(1)
     params = {k: jnp.asarray(v) for k, v in random_params(0).items()}

@@ -34,6 +34,7 @@ def test_roundtrip(tmp_path):
     assert ck["meta"]["w"] == 8
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted(tmp_path, content_pil, style_pil):
     """Run 20 iters straight vs 10 iters -> checkpoint -> resume 10 more:
     identical final image (state round-trips exactly; targets recompute
@@ -98,6 +99,7 @@ def test_resume_refuses_optimizer_mismatch(tmp_path, content_pil, style_pil):
                     optimizer="lbfgs", checkpoint=str(ck), resume=True)
 
 
+@pytest.mark.slow
 def test_resume_refuses_changed_geometry(tmp_path, content_pil, style_pil):
     ck = tmp_path / "ck.npz"
     st = StyleTransfer(devices=1, weights=PARAMS, callback_chunk=5)
@@ -110,6 +112,7 @@ def test_resume_refuses_changed_geometry(tmp_path, content_pil, style_pil):
                     checkpoint=str(ck), resume=True)
 
 
+@pytest.mark.slow
 def test_lbfgs_checkpoint_warns_and_skips(tmp_path, content_pil, style_pil, capsys):
     ck = tmp_path / "ck.npz"
     st = StyleTransfer(devices=1, weights=PARAMS, callback_chunk=5)
@@ -179,6 +182,7 @@ else:
     np.testing.assert_array_equal(img_a, np.load(out))
 
 
+@pytest.mark.slow
 def test_resume_skips_completed_scales(tmp_path, content_pil, style_pil):
     ck = tmp_path / "ck.npz"
     st = StyleTransfer(devices=1, weights=PARAMS, callback_chunk=10)

@@ -18,6 +18,7 @@ def make_engine(**kw):
     return StyleTransfer(**kw)
 
 
+@pytest.mark.slow
 def test_full_pyramid_loss_decreases(content_pil, style_pil):
     st = make_engine()
     its = []

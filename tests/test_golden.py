@@ -6,6 +6,7 @@ against the committed artifact (tolerance absorbs cross-host float drift)."""
 from pathlib import Path
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from style_transfer_tpu.engine import StyleTransfer
@@ -15,6 +16,7 @@ from style_transfer_tpu.utils.metrics import psnr
 GOLDEN = Path(__file__).parent / "golden" / "tiny_w2_64px.png"
 
 
+@pytest.mark.slow
 def test_golden_tiny_w2(content_pil, style_pil):
     st = StyleTransfer(devices=1, weights=random_params(0), callback_chunk=25)
     st.seed(0)

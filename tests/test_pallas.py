@@ -48,14 +48,3 @@ def test_ns_pallas_unbatched_shape():
     with pltpu.force_tpu_interpret_mode():
         out = sqrtm_ns_pallas(a, 10)
     assert out.shape == (32, 32)
-
-
-def test_pallas_maxpool_interpret():
-    from style_transfer_tpu.ops.pallas.maxpool import max_pool2x2_pallas
-    from style_transfer_tpu.ops.pooling import pool2x2
-
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(1, 16, 32, 8).astype(np.float32))
-    with pltpu.force_tpu_interpret_mode():
-        y = np.asarray(max_pool2x2_pallas(x))
-    np.testing.assert_allclose(y, np.asarray(pool2x2(x, "max")), rtol=1e-6)

@@ -99,6 +99,7 @@ def test_sharded_full_step_matches_unsharded(vgg_params):
     assert np.abs(img_sh - img_ref).mean() < 0.01
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 4, 8])
 def test_engine_multidevice_smoke(n, content_pil, style_pil):
     """Whole engine on an n-device mesh (uneven H split included)."""
@@ -127,6 +128,7 @@ def test_multihost_helper_single_host(monkeypatch):
     assert multihost.local_device_count() >= 1
 
 
+@pytest.mark.slow
 def test_engine_multidevice_pyramid_prefetch(content_pil, style_pil):
     """Two-scale pyramid on a mesh exercises the sharded AOT prefetch path
     (scale 2's program compiles from sharded dummies during scale 1)."""

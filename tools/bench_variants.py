@@ -17,12 +17,18 @@ W = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 CHUNK = 50
 ROUNDS = 3
 
-VARIANTS = {
+import json
+import os
+
+# Override via STT_VARIANTS='{"name": {"maxpool_impl": "xla", ...}, ...}'
+_env = os.environ.get("STT_VARIANTS")
+VARIANTS = json.loads(_env) if _env else {
     "base(cast0,paired)": dict(maxpool_impl="paired", cast_layer=0),
     "cast1,paired": dict(maxpool_impl="paired", cast_layer=1),
     "cast5,paired": dict(maxpool_impl="paired", cast_layer=5),
     "cast1,xla": dict(maxpool_impl="xla", cast_layer=1),
 }
+CHUNK = int(os.environ.get("STT_CHUNK", CHUNK))
 
 
 def main():
@@ -47,7 +53,7 @@ def main():
         results[name] = ms
         print(f"{name:28s} {ms:7.3f} ms/iter  ({1000/ms:6.1f} it/s)  "
               f"loss[-1]={float(np.asarray(losses)[-1]):.4f}", flush=True)
-    base = results.get("base(cast0,paired)")
+    base = next(iter(results.values()), None)
     if base:
         for name, ms in results.items():
             print(f"{name:28s} speedup vs base: {base/ms:6.3f}x")
