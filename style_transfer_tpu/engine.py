@@ -285,11 +285,12 @@ class StyleTransfer:
         return "auto" if self._is_tpu else "xla"
 
     # Hybrid banding (ops/banded.py) engages where XLA's giant-tensor conv
-    # tiling dominates. Measured at 2896x2172 (v5e): full-trunk banding
-    # LOSES (80 px halo recompute, 317-380 ms vs 286 monolithic); the
-    # pool2-cut hybrid WINS at ~0.5 Mpx slabs (12 bands: 245 ms; 9: 251;
-    # 16: 259; 4: 313).
-    _BAND_MIN_PX = 4_500_000
+    # tiling dominates. Measured on v5e: full-trunk banding LOSES at
+    # 2896x2172 (80 px halo recompute, 317-380 ms vs 286 monolithic); the
+    # pool2-cut hybrid WINS from ~0.8 Mpx up at ~0.5 Mpx slabs —
+    # 2896x2172: 245 ms @12 bands (vs 286); 1448x1086: 71.5 @3 (vs 86);
+    # 1024x768: 30.5 @2 (vs 31.8).
+    _BAND_MIN_PX = 700_000
     _BAND_SLAB_PX = 520_000
 
     def _n_bands(self, h, w) -> int:

@@ -176,15 +176,14 @@ def extract_features(
             impl = pool_impl
             if impl == "auto":
                 # Per-pool choice from v5e measurements (PERF.md "maxpool
-                # saga"): paired wins on narrow, small tensors (512px step:
-                # all-paired -9% vs all-xla) and loses on wide or big ones
-                # (2896px: paired W>=1448 slab pools +50 ms/iter, paired
-                # mid-size C=256/512 pools +24 ms/iter) — decide on THIS
-                # pool's input.
-                h_, w_, c_ = x.shape[1:4]
-                small = w_ <= 1024 and h_ * w_ <= (750_000 if c_ <= 128
-                                                   else 100_000)
-                impl = "paired" if small else "xla"
+                # saga"): paired wins only in the small-scale regime
+                # (512px step: all-paired -9% vs all-xla) and loses on
+                # wider tensors at every larger scale measured (1448px:
+                # paired W=724/181 pools +5 ms; 2896px: paired W>=1448
+                # slab pools +50 ms, mid-size C=256/512 pools +24 ms,
+                # W=362 C=512 pool +5 ms) — decide on THIS pool's input.
+                h_, w_ = x.shape[1:3]
+                impl = "paired" if w_ <= 512 and h_ * w_ <= 750_000 else "xla"
             x = pool2x2(x, pooling, impl)
             if pooling != "max":
                 # Swapping the pooling type changes activation scale; rescale
