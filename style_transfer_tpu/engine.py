@@ -103,45 +103,43 @@ class _AOTPrefetcher:
     """Ahead-of-time compilation of upcoming scales' step programs.
 
     Per-scale shapes mean per-scale XLA programs; tracing + (cached) program
-    load costs seconds to tens of seconds each (PERF.md). This overlaps that
-    work with the *previous* scale's iteration: a worker thread lowers and
-    compiles the next runner from abstract shapes while the device crunches
-    the current scale.
+    load costs seconds to tens of seconds each (PERF.md). The engine submits
+    EVERY upcoming scale at the start of the run (nearest first) and a small
+    worker pool lowers/compiles them while the device crunches the current
+    scale. One-scale-ahead prefetch was not enough: a small scale can finish
+    all its iterations in less time than the next program's load (measured:
+    ~55 s stalls entering 512x384 and 1024x768 on the warm pyramid).
+    Two workers bound host-side tracing (GIL) contention; submission order
+    keeps the nearest scale first in the queue.
     """
 
-    def __init__(self):
-        self._jobs = {}
-        self._results = {}
+    def __init__(self, workers: int = 2):
+        import concurrent.futures
+
+        self._ex = concurrent.futures.ThreadPoolExecutor(
+            max_workers=workers, thread_name_prefix="stt-aot"
+        )
+        self._futs = {}
         self._lock = threading.Lock()
 
     def submit(self, key, make_fn):
         with self._lock:
-            if key in self._jobs or key in self._results:
+            if key in self._futs:
                 return
-            t = threading.Thread(
-                target=self._work, args=(key, make_fn), daemon=True
-            )
-            self._jobs[key] = t
-        t.start()
-
-    def _work(self, key, make_fn):
-        try:
-            result = make_fn()
-        except Exception as e:  # fall back to the JIT path on any failure
-            result = e
-        with self._lock:
-            self._results[key] = result
+            self._futs[key] = self._ex.submit(make_fn)
 
     def get(self, key):
         """Blocks for an in-flight job (waiting beats recompiling); returns
-        None when nothing was submitted or the job failed."""
+        None when nothing was submitted or the job failed (the caller then
+        falls back to the JIT path)."""
         with self._lock:
-            t = self._jobs.get(key)
-        if t is not None:
-            t.join()
-        with self._lock:
-            r = self._results.get(key)
-        return None if r is None or isinstance(r, Exception) else r
+            fut = self._futs.get(key)
+        if fut is None:
+            return None
+        try:
+            return fut.result()
+        except Exception:
+            return None
 
 
 class StyleTransfer:
@@ -683,23 +681,25 @@ class StyleTransfer:
             actual_its = initial_iterations if scale == scales[0] else iterations
             done = min(resume_state["done_iters"], actual_its) if resuming_here else 0
 
-            # Overlap the NEXT scale's trace/compile/program-load with this
-            # scale's iteration (adam only; see _AOTPrefetcher).
-            if optimizer == "adam" and scale_idx + 1 < len(scales):
-                cw2, ch2 = align_size(
-                    size_to_fit(content_image.size, scales[scale_idx + 1],
-                                scale_up=True),
-                    align,
-                )
-                self._prefetch_scale(
-                    dataclasses.replace(
-                        cfg,
-                        remat=self._auto_remat(ch2, cw2),
-                        maxpool_impl=self._maxpool_impl(ch2, cw2),
-                        n_bands=self._n_bands(ch2, cw2),
-                    ),
-                    ch2, cw2, iterations,
-                )
+            # Overlap ALL upcoming scales' trace/compile/program-loads with
+            # this scale's iteration (adam only; see _AOTPrefetcher).
+            # Submission is idempotent, nearest scale first.
+            if optimizer == "adam":
+                for nxt in range(scale_idx + 1, len(scales)):
+                    cw2, ch2 = align_size(
+                        size_to_fit(content_image.size, scales[nxt],
+                                    scale_up=True),
+                        align,
+                    )
+                    self._prefetch_scale(
+                        dataclasses.replace(
+                            cfg,
+                            remat=self._auto_remat(ch2, cw2),
+                            maxpool_impl=self._maxpool_impl(ch2, cw2),
+                            n_bands=self._n_bands(ch2, cw2),
+                        ),
+                        ch2, cw2, iterations,
+                    )
 
             t_prev = time.time()
             first_chunk = True

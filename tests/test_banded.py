@@ -99,6 +99,24 @@ def test_banded_matches_monolithic(style_loss, content_loss, band_cut):
     np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
 
 
+def test_banded_odd_dims_match():
+    """H not a multiple of the band quantum and odd W: bounds quantize,
+    floor-pooling still matches the monolithic trunk row-for-row."""
+    rng = np.random.RandomState(2)
+    h, w = 250, 93
+    params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
+    image = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    content = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    style = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    base = StepConfig(compute_dtype=None)
+    consts = _consts(params, base, content, style)
+    banded = StepConfig(compute_dtype=None, n_bands=2)
+    lm, gm = jax.value_and_grad(build_loss_fn(base))(image, params, consts)
+    lb, gb = jax.value_and_grad(build_loss_fn(banded))(image, params, consts)
+    np.testing.assert_allclose(lb, lm, rtol=2e-5)
+    np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
+
+
 @pytest.mark.slow
 def test_banded_remat_matches():
     rng = np.random.RandomState(1)

@@ -178,3 +178,19 @@ def test_device_string_constructor():
     assert st.devices[0].platform == "cpu"
     st2 = StyleTransfer(devices=["cpu:0"], weights=PARAMS)
     assert st2.devices[0].id == 0
+
+
+def test_banded_engine_matches_monolithic(content_pil, style_pil):
+    """Explicit n_bands through the engine: same seed, same trajectory
+    (CPU f32 — banding only reassociates float sums)."""
+    outs = []
+    for n_bands in (None, 2):
+        st = make_engine(n_bands=n_bands)
+        st.seed(7)
+        img = st.stylize(
+            content_pil, [style_pil], min_scale=96, end_scale=96,
+            iterations=8, initial_iterations=8,
+        )
+        outs.append(np.asarray(img, dtype=np.float32))
+    # bit-exact is too strict across reassociated reductions; 1 uint8 step
+    assert np.abs(outs[0] - outs[1]).max() <= 1.0
