@@ -208,6 +208,11 @@ def build_parser(stylize_fn):
     p.add_argument("--bands", type=str, default="auto",
                    help="horizontal bands for the banded trunk at print "
                         "sizes (auto, off, or a count; see ops/banded.py)")
+    p.add_argument("--trunk", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="early-trunk implementation (pallas = fused "
+                        "conv1_1..pool2 VMEM kernel, TPU only; auto engages "
+                        "it at print sizes)")
     p.add_argument("--align", **arg_info("align"),
                    help="round optimization dims to a multiple (1 = exact "
                         "reference sizing; 8/16 avoids odd pooling cascades "
@@ -291,6 +296,7 @@ def main(argv=None):
         sqrtm_impl=args.sqrtm,
         remat=remat,
         n_bands=n_bands,
+        trunk_impl=args.trunk,
         callback_chunk=args.callback_chunk,
     )
     st.seed(args.random_seed)

@@ -158,6 +158,9 @@ class StyleTransfer:
         activations would not fit HBM; remat is slower otherwise), or bool.
       n_bands: banded halo-slab trunk (ops/banded.py); None/0 = monolithic
         (measured faster on v5e), or an explicit band count (memory knob).
+      trunk_impl: 'auto' | 'xla' | 'pallas' — 'pallas' runs conv1_1..pool2
+        as the fused VMEM kernel (ops/pallas/trunk.py); 'auto' engages it on
+        TPU at print sizes where it beats the banded-XLA trunk.
       callback_chunk: iterations fused per device round-trip. Telemetry is
         emitted per iteration, but wall-times within a chunk are interpolated.
     """
@@ -174,6 +177,7 @@ class StyleTransfer:
         sqrtm_impl: str = "auto",
         remat: Optional[bool] = None,
         n_bands: Optional[int] = None,
+        trunk_impl: str = "auto",
         callback_chunk: int = 50,
     ):
         if devices is None:
@@ -208,6 +212,7 @@ class StyleTransfer:
         self._is_tpu = self.devices[0].platform == "tpu"
         self.remat = remat
         self.n_bands = n_bands
+        self.trunk_impl = trunk_impl
         self.callback_chunk = int(callback_chunk)
 
         # Default layer configuration (Gatys et al. 2015 taps, reference
@@ -290,6 +295,23 @@ class StyleTransfer:
     # 1024x768: 30.5 @2 (vs 31.8).
     _BAND_MIN_PX = 700_000
     _BAND_SLAB_PX = 520_000
+    # Fused Pallas early trunk: 'auto' currently never engages it — as of
+    # this round the kernel's VPU-bound backward (254 ms/iter fwd+bwd at
+    # 2896x2172) does not yet beat the banded-XLA step (245 ms/iter total);
+    # see PERF.md "Pallas early trunk". Opt in with trunk_impl='pallas'.
+    _PALLAS_TRUNK_MIN_PX = float("inf")
+
+    def _trunk_impl(self, h, w) -> str:
+        if self.trunk_impl != "auto":
+            return self.trunk_impl
+        ok = (
+            self._is_tpu
+            and self.mesh is None
+            and self.pooling == "max"
+            and all(l > 9 for l in self.content_layers)
+            and tuple(l for l in self.style_layers if l <= 9) == (1, 6)
+        )
+        return "pallas" if ok and h * w >= self._PALLAS_TRUNK_MIN_PX else "xla"
 
     def _n_bands(self, h, w) -> int:
         if not self._is_tpu or self.mesh is not None:
@@ -637,7 +659,9 @@ class StyleTransfer:
                 content_loss=self.content_loss,
                 sqrtm_impl=self.sqrtm_impl,
                 maxpool_impl=self._maxpool_impl(ch, cw),
-                n_bands=self._n_bands(ch, cw),
+                trunk_impl=self._trunk_impl(ch, cw),
+                n_bands=(0 if self._trunk_impl(ch, cw) == "pallas"
+                         else self._n_bands(ch, cw)),
                 pooling=self.pooling,
                 compute_dtype=self.compute_dtype,
                 step_size=step_size,
@@ -696,7 +720,9 @@ class StyleTransfer:
                             cfg,
                             remat=self._auto_remat(ch2, cw2),
                             maxpool_impl=self._maxpool_impl(ch2, cw2),
-                            n_bands=self._n_bands(ch2, cw2),
+                            trunk_impl=self._trunk_impl(ch2, cw2),
+                            n_bands=(0 if self._trunk_impl(ch2, cw2) == "pallas"
+                                     else self._n_bands(ch2, cw2)),
                         ),
                         ch2, cw2, iterations,
                     )
