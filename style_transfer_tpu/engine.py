@@ -301,6 +301,13 @@ class StyleTransfer:
     # see PERF.md "Pallas early trunk". Opt in with trunk_impl='pallas'.
     _PALLAS_TRUNK_MIN_PX = float("inf")
 
+    def _im2col_layers(self) -> tuple:
+        # conv3_1 (torchvision index 10) as an explicit im2col matmul:
+        # measured on v5e it removes the conv-emitter T(2,128) layout
+        # complex after pool2 (512px: 105.8 -> 110.8 it/s; 2896x2172 banded:
+        # 245 -> 241 ms/iter). TPU-only (the XLA CPU conv is fine).
+        return (10,) if self._is_tpu else ()
+
     def _trunk_impl(self, h, w) -> str:
         if self.trunk_impl != "auto":
             return self.trunk_impl
@@ -659,6 +666,7 @@ class StyleTransfer:
                 content_loss=self.content_loss,
                 sqrtm_impl=self.sqrtm_impl,
                 maxpool_impl=self._maxpool_impl(ch, cw),
+                im2col_layers=self._im2col_layers(),
                 trunk_impl=self._trunk_impl(ch, cw),
                 n_bands=(0 if self._trunk_impl(ch, cw) == "pallas"
                          else self._n_bands(ch, cw)),

@@ -78,29 +78,30 @@ def normalize(x):
     return (x - mean) / std
 
 
-def _conv_first(x, kernel, bias):
-    """conv1_1 as an explicit im2col matmul (replicate pad, ref :38-39).
-
-    A 3-input-channel convolution is a degenerate case for XLA:TPU's conv
-    emitters (measured 0.8 TF/s at 512px, bracketed by full-tensor layout
-    copies — the single worst op in the step). Building the 27-column im2col
-    matrix with static slices and contracting it as a plain 2D matmul runs
-    on the MXU at matmul efficiency at every scale, and lets ReLU fuse into
-    the matmul epilogue.
+def _conv_im2col(xp, kernel, bias):
+    """3x3 conv of an already 1-px-padded NHWC tensor as an explicit im2col
+    matmul. Degenerate or layout-hostile cases for XLA:TPU's conv emitters
+    run at matmul efficiency this way: conv1_1 (3 input channels measured
+    at 0.8 TF/s with the conv emitter), and the first conv after the
+    banded/Pallas pool2 cut, whose emitter output layout T(2,128) drags a
+    10-40 ms relayout-and-refusion complex behind it at print sizes
+    (PERF.md). ReLU fuses into the matmul epilogue.
     """
-    xp = replicate_pad2d(x, 1)
     n, hp, wp, c = xp.shape
     h, w = hp - 2, wp - 2
     cols = [xp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)]
     xcol = jnp.concatenate(cols, axis=-1).reshape(n * h * w, 9 * c)
-    kcol = kernel.reshape(9 * c, -1).astype(x.dtype)
+    kcol = kernel.reshape(9 * c, -1).astype(xp.dtype)
     y = jnp.dot(xcol, kcol)
-    return y.reshape(n, h, w, -1) + bias.astype(x.dtype)
+    return y.reshape(n, h, w, -1) + bias.astype(xp.dtype)
 
 
-def _conv(x, kernel, bias, first: bool):
-    if first:
-        return _conv_first(x, kernel, bias)
+def _conv(x, kernel, bias, first: bool, im2col: bool = False):
+    if first:  # conv1_1: replicate padding (ref :38-39)
+        return _conv_im2col(replicate_pad2d(x, 1), kernel, bias)
+    if im2col:
+        return _conv_im2col(
+            jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))), kernel, bias)
     padding = "SAME"
     # No preferred_element_type here: the TPU MXU already accumulates bf16
     # convolutions in f32 internally, and a widened output dtype would break
@@ -124,6 +125,7 @@ def extract_features(
     pool_impl: str = "xla",
     cast_layer: int = 0,
     start_layer: int = 0,
+    im2col_layers: Sequence[int] = (),
 ):
     """Run the VGG-19 trunk up to the last requested layer.
 
@@ -142,6 +144,8 @@ def extract_features(
         activation *entering* ``start_layer`` (normalization, the INPUT tap
         and the min-size guard are skipped; used by the banded halo-slab
         path to continue from a materialized cut-point tensor).
+      im2col_layers: conv layer indices to run as explicit im2col matmuls
+        instead of ``lax.conv`` (see ``_conv_im2col``; conv1_1 always is).
 
     Returns:
       dict mapping ``INPUT`` (-1) -> the raw image and each tapped index -> its
@@ -171,7 +175,8 @@ def extract_features(
         if compute_dtype is not None and i == cast_layer and cast_layer > 0:
             x = x.astype(compute_dtype)
         if i in _CONV_SET:
-            x = _conv(x, params[f"conv{i}_kernel"], params[f"conv{i}_bias"], i == 0)
+            x = _conv(x, params[f"conv{i}_kernel"], params[f"conv{i}_bias"],
+                      i == 0, im2col=i in im2col_layers)
         elif i in _POOL_SET:
             impl = pool_impl
             if impl == "auto":

@@ -477,7 +477,21 @@ def _bwd_kernel(ximg, a2s, a4s, gcut, w0, b0, w2, b2,
     dxn = dxn + jnp.where(ri == bot - 1, _shift_rows(dxn, -1),
                           jnp.zeros_like(dxn))
 
-    dimg_ref[0] = _f32(dxn[halo:halo + T, halo:halo + T])
+    own = _f32(dxn[halo:halo + T, halo:halo + T])
+    # Channel-first store (see _bwd_call): stacking width-1 lane selects on
+    # a new OUTER axis is a legal Mosaic relayout; a (T, T, 3) store into a
+    # channels-last block would force the 42x-padded layout. Blocks span
+    # two column-tiles (the lane dim must be 128-divisible), so each grid
+    # step fills its half under a parity predicate.
+    planes = jnp.stack([own[..., 0], own[..., 1], own[..., 2]], 0)
+
+    @pl.when(j % 2 == 0)
+    def _():
+        dimg_ref[:, :, :T] = planes
+
+    @pl.when(j % 2 == 1)
+    def _():
+        dimg_ref[:, :, T:] = planes
 
 
 # --------------------------------------------------------------------------
@@ -529,12 +543,22 @@ def _params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
-def _fwd_call(image, packed, static):
+def _image_slabs(image, packed):
+    """Haloed image slabs for both kernels — built once and passed through
+    the VJP residuals: the Pallas boundary forces a tiled layout that pads
+    the 3-channel minor dim 42x in HBM, so ONE such buffer must be shared
+    by the forward and backward instead of being rebuilt in each."""
+    H, W = image.shape[1:3]
+    nth, ntw = _cdiv(H, TILE), _cdiv(W, TILE)
+    return _tile_slabs(image[0].astype(packed["w1"].dtype), TILE, HALO_F,
+                       nth, ntw)
+
+
+def _fwd_call(slabs, packed, static):
     H, W, interpret = static
     nth, ntw = _cdiv(H, TILE), _cdiv(W, TILE)
     e = TILE + 2 * HALO_F
     cdt = packed["w1"].dtype
-    slabs = _tile_slabs(image[0].astype(cdt), TILE, HALO_F, nth, ntw)
 
     kernel = functools.partial(_fwd_kernel, H=H, W=W, cdt=cdt)
     out = pl.pallas_call(
@@ -574,12 +598,11 @@ def _fwd_call(image, packed, static):
     return tuple(out)
 
 
-def _bwd_call(image, a2, a4, packed, g_cut, gs1, gm1, gs6, gm6, static):
+def _bwd_call(xslabs, a2, a4, packed, g_cut, gs1, gm1, gs6, gm6, static):
     H, W, interpret = static
     nth, ntw = _cdiv(H, TILE), _cdiv(W, TILE)
     cdt = packed["w1"].dtype
     e = TILE + 2 * HALO_F
-    xslabs = _tile_slabs(image[0].astype(cdt), TILE, HALO_F, nth, ntw)
     a2slabs = _tile_slabs(a2[0], TILE, HALO_F, nth, ntw)
     a4slabs = _tile_slabs(a4[0], TILE // 2, HALO_F // 2, nth, ntw)
     gslabs = _tile_slabs(
@@ -590,9 +613,14 @@ def _bwd_call(image, a2, a4, packed, g_cut, gs1, gm1, gs6, gm6, static):
         in_specs=[_slab_spec(e, 3), _slab_spec(e, 64),
                   _slab_spec(e // 2, 128), _slab_spec(e // 4, 128)]
         + [_vspec()] * 12,
-        out_specs=pl.BlockSpec((1, TILE, TILE, 3), lambda i, j: (0, i, j, 0),
+        out_specs=pl.BlockSpec((3, TILE, 2 * TILE),
+                               lambda i, j: (0, i, j // 2),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, H, W, 3), jnp.float32),
+        # Channel-FIRST output: a (1, H, W, 3) Pallas output would get a
+        # 42x-padded tiled layout in HBM (3-lane minor dim); channel-first
+        # pads only the column dim to the lane tile.
+        out_shape=jax.ShapeDtypeStruct(
+            (3, nth * TILE, 2 * TILE * _cdiv(ntw, 2)), jnp.float32),
         compiler_params=_params(),
         interpret=interpret,
     )(
@@ -601,25 +629,26 @@ def _bwd_call(image, a2, a4, packed, g_cut, gs1, gm1, gs6, gm6, static):
         packed["w0t"], packed["w1t"], packed["w2t"], packed["w3t"],
         gs1, gm1, gs6, gm6,
     )
-    return out
+    return out[:, :H, :W].transpose(1, 2, 0)[None]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _early_trunk(image, packed, static):
-    return _fwd_call(image, packed, static)[:5]
+    return _fwd_call(_image_slabs(image, packed), packed, static)[:5]
 
 
 def _early_trunk_fwd(image, packed, static):
-    out = _fwd_call(image, packed, static)
-    return out[:5], (image, out[5], out[6], packed)
+    slabs = _image_slabs(image, packed)
+    out = _fwd_call(slabs, packed, static)
+    return out[:5], (slabs, out[5], out[6], packed)
 
 
 def _early_trunk_bwd(static, res, cots):
-    image, a2, a4, packed = res
+    xslabs, a2, a4, packed = res
     g_cut, g_s1, g_m1, g_s6, g_m6 = cots
     gsym1 = _f32(g_m1) + _f32(g_m1).T
     gsym6 = _f32(g_m6) + _f32(g_m6).T
-    dimg = _bwd_call(image, a2, a4, packed, g_cut, _f32(g_s1), gsym1,
+    dimg = _bwd_call(xslabs, a2, a4, packed, g_cut, _f32(g_s1), gsym1,
                      _f32(g_s6), gsym6, static)
     return dimg.astype(jnp.float32), jax.tree.map(jnp.zeros_like, packed)
 

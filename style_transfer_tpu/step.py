@@ -81,6 +81,10 @@ class StepConfig:
     # with the deep trunk running monolithically from the pool2 cut.
     # Single-mesh, max pooling, default early taps only.
     trunk_impl: str = "xla"
+    # Conv layers to run as explicit im2col matmuls (vgg._conv_im2col):
+    # sidesteps XLA's conv-emitter layout pathologies, e.g. conv3_1 (10)
+    # right after the pool2 cut at print sizes.
+    im2col_layers: Tuple[int, ...] = ()
 
     @property
     def all_layers(self) -> Tuple[int, ...]:
@@ -114,7 +118,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
         return extract_features(
             params, image, cfg.all_layers, pooling=cfg.pooling,
             compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
-            cast_layer=cfg.cast_layer,
+            cast_layer=cfg.cast_layer, im2col_layers=cfg.im2col_layers,
         )
 
     if cfg.remat:
@@ -209,6 +213,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 params, x2, late_taps, pooling=cfg.pooling,
                 compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
                 start_layer=CUT_LAYER + 1,
+                im2col_layers=cfg.im2col_layers,
             )
 
         feats2 = late_fn(cut) if late_taps else {}
@@ -249,7 +254,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 return extract_features(
                     params, x2, late_taps, pooling=cfg.pooling,
                     compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
-                    start_layer=cut + 1,
+                    start_layer=cut + 1, im2col_layers=cfg.im2col_layers,
                 )
 
             if cfg.remat:
