@@ -302,11 +302,12 @@ class StyleTransfer:
     _PALLAS_TRUNK_MIN_PX = float("inf")
 
     def _im2col_layers(self) -> tuple:
-        # conv3_1 (torchvision index 10) as an explicit im2col matmul:
-        # measured on v5e it removes the conv-emitter T(2,128) layout
-        # complex after pool2 (512px: 105.8 -> 110.8 it/s; 2896x2172 banded:
-        # 245 -> 241 ms/iter). TPU-only (the XLA CPU conv is fine).
-        return (10,) if self._is_tpu else ()
+        # conv3_1 / conv5_1 (torchvision 10 / 28) as explicit im2col
+        # matmuls: removes the conv-emitter T(2,128) layout complex on the
+        # first conv after a pooling cut (512px: 105.8 -> 111 it/s;
+        # 2896x2172 banded: 245 -> 236 ms/iter; 1448px: 74.8 -> 72.5).
+        # conv4_1 (19) measured neutral. TPU-only (XLA's CPU conv is fine).
+        return (10, 28) if self._is_tpu else ()
 
     def _trunk_impl(self, h, w) -> str:
         if self.trunk_impl != "auto":
