@@ -57,8 +57,9 @@ from ...models.vgg import IMAGENET_MEAN, IMAGENET_STD
 __all__ = ["early_trunk_stats", "pack_trunk_params", "TILE", "CUT_LAYER"]
 
 TILE = 64  # owned image rows/cols per grid step (multiple of 16)
-HALO_F = 8  # forward receptive halo through pool2 (multiple of 4)
-HALO_B = 16  # L1-kernel recompute halo (fwd halo + cotangent halo)
+HALO_F = 8  # receptive halo through pool2 (multiple of 4); the backward
+# needs no more: a2/a4 arrive as stored residuals, so its recompute
+# (conv1_1 + conv2_1) and cotangent chain stay within the same 8 px.
 CUT_LAYER = 9  # torchvision index of pool2 (parity with ops/banded.py)
 
 _VMEM_LIMIT = 110 * 1024 * 1024  # v5e has 128M physical VMEM

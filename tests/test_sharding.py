@@ -146,3 +146,33 @@ def test_engine_multidevice_pyramid_prefetch(content_pil, style_pil):
     )
     assert len(losses) == 20
     assert np.isfinite(losses).all()
+
+
+def test_sharded_im2col_matches_unsharded():
+    """im2col conv layers (engine TPU default, StepConfig.im2col_layers)
+    under GSPMD spatial sharding: the concat-of-shifted-slices im2col must
+    partition with halo exchanges exactly like the conv it replaces."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from style_transfer_tpu.models.vgg import extract_features
+    from style_transfer_tpu.models.weights import random_params
+    from style_transfer_tpu.parallel.mesh import make_mesh, shard_image
+
+    params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
+    rng = np.random.RandomState(7)
+    image = jnp.asarray(rng.rand(1, 96, 128, 3).astype(np.float32))
+    mesh = make_mesh(jax.devices()[:8])
+
+    def feats(img):
+        out = extract_features(params, img, [11, 29],
+                               im2col_layers=(10, 28))
+        return out[11], out[29]
+
+    ref = jax.jit(feats)(image)
+    sharded_img = shard_image(image, mesh)
+    got = jax.jit(feats)(sharded_img)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
