@@ -518,16 +518,6 @@ def _tile_slabs(x, T, halo, nth, ntw):
     return jnp.stack([rows[:, :, k * T:k * T + e] for k in range(ntw)], 1)
 
 
-def _interleave_quads(q):
-    """(4, A, B, C) quad streams -> (2A, 2B, C) full-resolution field."""
-    four, a, b, c = q.shape
-    return (
-        q.reshape(2, 2, a, b, c)
-        .transpose(2, 0, 3, 1, 4)
-        .reshape(2 * a, 2 * b, c)
-    )
-
-
 _WKEYS = ("w0", "b0", "w1", "b1", "w2", "b2", "w3", "b3")
 
 
