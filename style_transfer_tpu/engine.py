@@ -519,7 +519,8 @@ class StyleTransfer:
         style_scale_fac, style_size, cfg,
     ):
         """Compute per-scale content/style targets (once per scale, f32)."""
-        content_feats = self._features(content, self.content_layers)
+        with _phase_timer("  targets:content-feats"):
+            content_feats = self._features(content, self.content_layers)
         consts = {
             "content": {l: content_feats[l] for l in self.content_layers},
             "style": {},
@@ -532,7 +533,8 @@ class StyleTransfer:
                 sw, sh = size_to_fit(img.size, style_size)
             print(f"Processing style image ({sw}x{sh})...")
             style = _pil_to_nhwc(img, (sw, sh))
-            stats = jax.device_get(self._style_stats(style, cfg.style_loss))
+            with _phase_timer("  targets:style-stats"):
+                stats = jax.device_get(self._style_stats(style, cfg.style_loss))
             for layer in self.style_layers:
                 contrib = [np.asarray(c, np.float32) * wgt for c in stats[layer]]
                 if layer not in blended:
@@ -540,14 +542,15 @@ class StyleTransfer:
                 else:
                     for i, c in enumerate(contrib):
                         blended[layer][i] = blended[layer][i] + c
-        for layer in self.style_layers:
-            if cfg.style_loss == "w2":
-                mean, srm = blended[layer]
-                consts["style"][layer] = self._finalize_w2(
-                    mean, srm, cfg.w2_eps, cfg.sqrtm_iters
-                )
-            else:
-                consts["style"][layer] = blended[layer][0]
+        with _phase_timer("  targets:finalize"):
+            for layer in self.style_layers:
+                if cfg.style_loss == "w2":
+                    mean, srm = blended[layer]
+                    consts["style"][layer] = self._finalize_w2(
+                        mean, srm, cfg.w2_eps, cfg.sqrtm_iters
+                    )
+                else:
+                    consts["style"][layer] = blended[layer][0]
         return consts
 
     # --------------------------------------------------------------- stylize
@@ -690,6 +693,34 @@ class StyleTransfer:
                 remat=self._auto_remat(ch, cw),
             )
 
+            actual_its = initial_iterations if scale == scales[0] else iterations
+
+            # Overlap ALL scales' trace/compile/program-loads with target
+            # capture and iteration (adam only; see _AOTPrefetcher). Submitted
+            # BEFORE target capture so even the first scale's own chunk
+            # programs load while the session pays its one-time startup
+            # (weight transfer + first compiles dominate the cold path).
+            # Submission is idempotent, nearest scale first.
+            if optimizer == "adam":
+                self._prefetch_scale(cfg, ch, cw, actual_its)
+                for nxt in range(scale_idx + 1, len(scales)):
+                    cw2, ch2 = align_size(
+                        size_to_fit(content_image.size, scales[nxt],
+                                    scale_up=True),
+                        align,
+                    )
+                    self._prefetch_scale(
+                        dataclasses.replace(
+                            cfg,
+                            remat=self._auto_remat(ch2, cw2),
+                            maxpool_impl=self._maxpool_impl(ch2, cw2),
+                            trunk_impl=self._trunk_impl(ch2, cw2),
+                            n_bands=(0 if self._trunk_impl(ch2, cw2) == "pallas"
+                                     else self._n_bands(ch2, cw2)),
+                        ),
+                        ch2, cw2, iterations,
+                    )
+
             print(f"Processing content image ({cw}x{ch})...")
             with _phase_timer(f"targets@{scale}"):
                 consts = self._capture_targets(
@@ -723,30 +754,7 @@ class StyleTransfer:
                     "optimizer must be one of 'adam', 'lbfgs', 'lbfgs-zoom'"
                 )
 
-            actual_its = initial_iterations if scale == scales[0] else iterations
             done = min(resume_state["done_iters"], actual_its) if resuming_here else 0
-
-            # Overlap ALL upcoming scales' trace/compile/program-loads with
-            # this scale's iteration (adam only; see _AOTPrefetcher).
-            # Submission is idempotent, nearest scale first.
-            if optimizer == "adam":
-                for nxt in range(scale_idx + 1, len(scales)):
-                    cw2, ch2 = align_size(
-                        size_to_fit(content_image.size, scales[nxt],
-                                    scale_up=True),
-                        align,
-                    )
-                    self._prefetch_scale(
-                        dataclasses.replace(
-                            cfg,
-                            remat=self._auto_remat(ch2, cw2),
-                            maxpool_impl=self._maxpool_impl(ch2, cw2),
-                            trunk_impl=self._trunk_impl(ch2, cw2),
-                            n_bands=(0 if self._trunk_impl(ch2, cw2) == "pallas"
-                                     else self._n_bands(ch2, cw2)),
-                        ),
-                        ch2, cw2, iterations,
-                    )
 
             t_prev = time.time()
             first_chunk = True

@@ -1,8 +1,9 @@
 """Per-op TPU profile of the fused step at a given size.
 
-Usage: python tools/profile_step.py [H] [W] [maxpool_impl] [chunks]
-Parses the vm.trace.json.gz the axon profiler writes and buckets device op
-durations. See PERF.md for the history of these numbers.
+Usage: python tools/profile_step.py [H] [W] [maxpool_impl] [chunks] [k=v ...]
+Trailing k=v pairs are StepConfig overrides (e.g. n_bands=12 trunk_impl=pallas
+im2col_layers=0,10,28). Parses the vm.trace.json.gz the axon profiler writes
+and buckets device op durations. See PERF.md for the history of these numbers.
 """
 
 import gzip
@@ -20,6 +21,16 @@ def main():
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     maxpool = sys.argv[3] if len(sys.argv) > 3 else "paired"
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+    cfg_kw = {}
+    for kv in sys.argv[5:]:
+        k, v = kv.split("=", 1)
+        if "," in v:
+            cfg_kw[k] = tuple(int(x) for x in v.split(",") if x)
+        else:
+            try:
+                cfg_kw[k] = int(v)
+            except ValueError:
+                cfg_kw[k] = v
 
     import jax
 
@@ -30,7 +41,7 @@ def main():
     enable_persistent_cache()
     runner, params, consts, state = g._build(
         n_h=h, n_w=w, compute_dtype="bfloat16", sqrtm_impl="pallas",
-        maxpool_impl=maxpool,
+        maxpool_impl=maxpool, **cfg_kw,
     )
     state, losses = runner(params, consts, state, iters)
     np.asarray(losses)  # sync
@@ -76,7 +87,7 @@ def main():
         total += dur
 
     per_iter = total / iters / 1000.0
-    print(f"\n=== {h}x{w} maxpool={maxpool} {iters} iters: "
+    print(f"\n=== {h}x{w} maxpool={maxpool} {cfg_kw} {iters} iters: "
           f"{per_iter:.2f} ms/iter total device-op time ===")
     for cat, us in sorted(buckets.items(), key=lambda kv: -kv[1]):
         print(f"{cat:32s} {us/iters/1000.0:8.3f} ms/iter ({100*us/total:5.1f}%)")
