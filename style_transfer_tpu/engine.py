@@ -458,20 +458,35 @@ class StyleTransfer:
             ema=EMAState(value=img, accum=sds((), f32)),
         )
 
-    def _chunk_for(self, ch: int, cw: int) -> int:
+    def _chunk_for(self, ch: int, cw: int, actual_its: int) -> int:
         """Effective fused-chunk size for a scale. Small scales are
         round-trip-bound on remote-attached devices (~45 ms dispatch+get
         over the axon tunnel vs <1 ms of compute at 128px): scale the chunk
         up so a whole small scale takes a few round trips. At >= 0.1 Mpx
         the user-facing ``callback_chunk`` cadence is unchanged (a wider
         threshold measured slower: the extra chunk-size program variants
-        contend with the AOT prefetch workers at mid scales)."""
+        contend with the AOT prefetch workers at mid scales).
+
+        The size snaps to a divisor of ``actual_its`` when one lies close
+        enough: a non-dividing chunk leaves a remainder-sized program
+        VARIANT whose one-shot load costs seconds over the remote-attached
+        backend (measured: 4.7 s for the 1000 = 2x450 + 100 leftover at
+        128px) and doubles the prefetch compile work for the scale."""
         px = max(ch * cw, 1)
         factor = max(1, -(-100_000 // px))
-        return min(self.callback_chunk * factor, 500)
+        target = min(self.callback_chunk * factor, 500)
+        if target >= actual_its:
+            return actual_its
+        divs = [d for d in range(1, target * 2 + 1)
+                if actual_its % d == 0 and d <= 500]
+        if divs:
+            best = min(divs, key=lambda d: (abs(d - target), -d))
+            if best * 2 >= target:
+                return best
+        return target
 
     def _aot_chunks(self, ch: int, cw: int, actual_its: int):
-        n1 = min(self._chunk_for(ch, cw), actual_its)
+        n1 = min(self._chunk_for(ch, cw, actual_its), actual_its)
         rem = actual_its % n1
         return (n1,) if rem == 0 else (n1, rem)
 
@@ -758,7 +773,7 @@ class StyleTransfer:
 
             t_prev = time.time()
             first_chunk = True
-            scale_chunk = self._chunk_for(ch, cw)
+            scale_chunk = self._chunk_for(ch, cw, actual_its)
             while done < actual_its:
                 n = min(scale_chunk, actual_its - done)
                 aot = None

@@ -153,10 +153,11 @@ def banded_stats(
     def _moment_update(layer, v):
         vf = v.astype(jnp.float32)
         _acc(sums, layer, jnp.sum(vf, axis=(1, 2)))
-        n, bh, bw, c = v.shape
-        mat = v.reshape(n, bh * bw, c)
+        # Contract (h, w) directly — the (n, bh*bw, c) reshape materializes
+        # a relayout copy of the slab tap (and its VJP one of the
+        # cotangent); measured ~18 ms/iter across bands at 6 Mpx.
         _acc(outers, layer, jnp.einsum(
-            "npc,npd->ncd", mat, mat,
+            "nhwc,nhwd->ncd", v, v,
             precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
         ))

@@ -7,9 +7,9 @@ JAX computation; afterwards ``jax.devices()`` returns the global device list
 and the same mesh/sharding code runs unchanged — GSPMD keeps conv halo
 exchanges on ICI, and only unavoidable cross-host collectives ride DCN.
 
-This module is exercised in CI only via its single-host no-op path (this
-environment has one chip); the distributed path is the stock
-``jax.distributed`` bootstrap.
+Tested two ways (tests/test_multihost.py): the single-host no-op path, and
+a real 2-process ``jax.distributed`` bootstrap on localhost CPU running a
+cross-host psum over the spatial mesh.
 """
 
 import os
