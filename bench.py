@@ -39,7 +39,7 @@ def main():
     compute_dtype = "bfloat16" if dev.platform == "tpu" else None
     sqrtm_impl = "pallas" if dev.platform == "tpu" else "xla"
     maxpool_impl = "auto" if dev.platform == "tpu" else "xla"
-    im2col = (10, 28) if dev.platform == "tpu" else ()
+    im2col = (10, 19, 28) if dev.platform == "tpu" else ()  # engine default @512px
     runner, params, consts, state = g._build(
         n_h=SIZE, n_w=SIZE, compute_dtype=compute_dtype, sqrtm_impl=sqrtm_impl,
         maxpool_impl=maxpool_impl, im2col_layers=im2col,

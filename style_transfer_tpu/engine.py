@@ -301,13 +301,18 @@ class StyleTransfer:
     # see PERF.md "Pallas early trunk". Opt in with trunk_impl='pallas'.
     _PALLAS_TRUNK_MIN_PX = float("inf")
 
-    def _im2col_layers(self) -> tuple:
+    def _im2col_layers(self, h, w) -> tuple:
         # conv3_1 / conv5_1 (torchvision 10 / 28) as explicit im2col
         # matmuls: removes the conv-emitter T(2,128) layout complex on the
         # first conv after a pooling cut (512px: 105.8 -> 111 it/s;
         # 2896x2172 banded: 245 -> 236 ms/iter; 1448px: 74.8 -> 72.5).
-        # conv4_1 (19) measured neutral. TPU-only (XLA's CPU conv is fine).
-        return (10, 28) if self._is_tpu else ()
+        # conv4_1 (19) joins below 4 Mpx — the emitter gives it the same
+        # pathological layout at e.g. 2048x1536 (26 TF/s, +4.7 ms/iter r2),
+        # and im2col also wins at 1448 (-1.5) and 512 (-0.3) but loses at
+        # 2896 (+2.9). TPU-only (XLA's CPU conv is fine).
+        if not self._is_tpu:
+            return ()
+        return (10, 19, 28) if h * w <= 4_000_000 else (10, 28)
 
     def _trunk_impl(self, h, w) -> str:
         if self.trunk_impl != "auto":
@@ -697,7 +702,7 @@ class StyleTransfer:
                 content_loss=self.content_loss,
                 sqrtm_impl=self.sqrtm_impl,
                 maxpool_impl=self._maxpool_impl(ch, cw),
-                im2col_layers=self._im2col_layers(),
+                im2col_layers=self._im2col_layers(ch, cw),
                 trunk_impl=self._trunk_impl(ch, cw),
                 n_bands=(0 if self._trunk_impl(ch, cw) == "pallas"
                          else self._n_bands(ch, cw)),
@@ -729,6 +734,7 @@ class StyleTransfer:
                             cfg,
                             remat=self._auto_remat(ch2, cw2),
                             maxpool_impl=self._maxpool_impl(ch2, cw2),
+                            im2col_layers=self._im2col_layers(ch2, cw2),
                             trunk_impl=self._trunk_impl(ch2, cw2),
                             n_bands=(0 if self._trunk_impl(ch2, cw2) == "pallas"
                                      else self._n_bands(ch2, cw2)),

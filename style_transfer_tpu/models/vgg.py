@@ -181,14 +181,17 @@ def extract_features(
             impl = pool_impl
             if impl == "auto":
                 # Per-pool choice from v5e measurements (PERF.md "maxpool
-                # saga"): paired wins only in the small-scale regime
-                # (512px step: all-paired -9% vs all-xla) and loses on
-                # wider tensors at every larger scale measured (1448px:
-                # paired W=724/181 pools +5 ms; 2896px: paired W>=1448
-                # slab pools +50 ms, mid-size C=256/512 pools +24 ms,
-                # W=362 C=512 pool +5 ms) — decide on THIS pool's input.
+                # saga"): paired wins in the small-tensor regime (512px
+                # step: all-paired -9% vs all-xla) and on WIDE LOW-CHANNEL
+                # slab pools (2048px banded, w=1536 c<=128 slabs: paired
+                # -7 ms/iter r2), but loses on giant widths (2896px w=2172
+                # slabs: +59 ms) and on wide high-channel pools (2896px
+                # 724x543 c=256: +24 ms) — decide on THIS pool's input.
                 h_, w_ = x.shape[1:3]
-                impl = "paired" if w_ <= 512 and h_ * w_ <= 750_000 else "xla"
+                c_ = x.shape[3]
+                impl = ("paired"
+                        if h_ * w_ <= 750_000 and w_ <= 1536
+                        and (w_ <= 512 or c_ <= 128) else "xla")
             x = pool2x2(x, pooling, impl)
             if pooling != "max":
                 # Swapping the pooling type changes activation scale; rescale

@@ -113,6 +113,7 @@ def banded_stats(
     n_bands: int,
     cut_layer: int = DEFAULT_CUT,
     halo: int = 0,
+    axis: int = 1,
 ):
     """Accumulate loss statistics over halo-slabs of ``image``.
 
@@ -130,19 +131,29 @@ def banded_stats(
       cut_layer: last banded layer (its output is re-assembled; default
         pool2).
       halo: input-px slab halo; 0 => receptive_halo of the banded layers.
+      axis: spatial axis to band — 1 (rows, default) or 2 (columns).
+        Column banding keeps slab WIDTH small, which on TPU keeps the
+        per-pool paired formulation applicable (w <= 1536) at giant
+        widths where row slabs span the full image width.
 
     Returns:
       (moments, content_acc): moments[layer] = (mean (N,C), srm (N,C,C))
       over the full image in f32; content_acc[layer] = (sum_sq_err,
       sum_abs_err, n_elements) in f32.
     """
+    if axis not in (1, 2):
+        raise ValueError("axis must be 1 (rows) or 2 (columns)")
     h, w = image.shape[1:3]
+    ext = image.shape[axis]  # banded spatial extent
     early_style = [l for l in style_layers if l <= cut_layer]
     early_content = [l for l in content_layers if l <= cut_layer]
     if halo <= 0:
         halo = receptive_halo(set(early_style) | set(early_content)
                               | {cut_layer})
-    bounds = band_bounds(h, n_bands)
+    bounds = band_bounds(ext, n_bands)
+
+    def _slab(x, a, b):
+        return x[:, a:b] if axis == 1 else x[:, :, a:b]
 
     sums, outers = {}, {}
     content_sse, content_abs, content_cnt = {}, {}, {}
@@ -162,8 +173,8 @@ def banded_stats(
             preferred_element_type=jnp.float32,
         ))
 
-    def _content_update(layer, v, row0):
-        tgt = content_targets[layer][:, row0:row0 + v.shape[1]]
+    def _content_update(layer, v, off0):
+        tgt = _slab(content_targets[layer], off0, off0 + v.shape[axis])
         diff = v.astype(jnp.float32) - tgt.astype(jnp.float32)
         _acc(content_sse, layer, jnp.sum(jnp.square(diff)))
         _acc(content_abs, layer, jnp.sum(jnp.abs(diff)))
@@ -173,12 +184,12 @@ def banded_stats(
     for k in range(len(bounds) - 1):
         s, e = bounds[k], bounds[k + 1]
         s2 = max(0, s - halo)
-        e2 = min(h, e + halo)
-        feats = early_fn(image[:, s2:e2])
+        e2 = min(ext, e + halo)
+        feats = early_fn(_slab(image, s2, e2))
         for layer in sorted(set(early_style) | set(early_content) | {cut_layer}):
             p = pool_stride(layer)
             fs = (s - s2) // p
-            v = feats[layer][:, fs:fs + _owned(h, s, e, p)]
+            v = _slab(feats[layer], fs, fs + _owned(ext, s, e, p))
             if layer in early_style:
                 _moment_update(layer, v)
             if layer in early_content:
@@ -187,7 +198,7 @@ def banded_stats(
                 cut_parts.append(v)
 
     if late_fn is not None:
-        feats2 = late_fn(jnp.concatenate(cut_parts, axis=1))
+        feats2 = late_fn(jnp.concatenate(cut_parts, axis=axis))
         for layer in style_layers:
             if layer > cut_layer:
                 _moment_update(layer, feats2[layer])

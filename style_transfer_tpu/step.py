@@ -76,6 +76,11 @@ class StepConfig:
     n_bands: int = 0
     band_cut: int = 9  # last banded layer (9 = pool2); > last tap = full trunk
     band_halo: int = 0  # 0 => receptive_halo of the banded layers
+    # Banded spatial axis: 0 = auto (rows, unless the image is wider than
+    # 1536 px — then columns, so slab width stays in the regime where the
+    # paired pool formulation and narrow-tensor layouts win), 1 = rows,
+    # 2 = columns.
+    band_axis: int = 0
     # 'xla' = monolithic/banded XLA trunk (n_bands decides); 'pallas' = fused
     # Pallas early-trunk kernel (conv1_1..pool2 in VMEM, ops/pallas/trunk.py)
     # with the deep trunk running monolithically from the pool2 cut.
@@ -260,6 +265,9 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
             if cfg.remat:
                 early_fn = jax.checkpoint(early_fn)
                 late_fn = jax.checkpoint(late_fn)
+            axis = cfg.band_axis
+            if axis == 0:
+                axis = 2 if image.shape[2] > 1536 else 1
             moments, content_acc = banded_stats(
                 early_fn, late_fn if late_taps else None, image,
                 style_layers=cfg.style_layers,
@@ -268,6 +276,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 n_bands=cfg.n_bands,
                 cut_layer=cut,
                 halo=cfg.band_halo,
+                axis=axis,
             )
             tv = L.tv_loss(image)
         else:
@@ -355,6 +364,10 @@ def make_adam_runner(cfg: StepConfig, mesh=None):
     loss_fn = build_loss_fn(cfg, mesh)
     grad_fn = jax.value_and_grad(loss_fn)
 
+    # NOTE: carrying the state as flat 1-D arrays (to dodge the C=3 image's
+    # H-minor T(4,128) layout in the Adam/EMA epilogue) was measured NET
+    # SLOWER at every size (512px +12%, 2048 +13%, 2896 +20%): the reshape
+    # boundary relayouts outweigh the epilogue savings. See PERF.md r2.
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(2,))
     def run(params, consts, state: LoopState, n_steps: int):
         def step(carry: LoopState, _):

@@ -135,3 +135,40 @@ def test_banded_remat_matches():
     # Recompute-for-backward reorders float ops; near-zero gradient elements
     # see absolute noise ~1e-6.
     np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=3e-6)
+
+
+def test_banded_columns_match():
+    """Column banding (axis=2) == monolithic: slab WIDTH is what stays
+    small, for the giant-width scales where row slabs span the full W."""
+    rng = np.random.RandomState(3)
+    h, w = 96, 256
+    params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
+    image = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    content = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    style = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    base = StepConfig(compute_dtype=None)
+    consts = _consts(params, base, content, style)
+    banded = StepConfig(compute_dtype=None, n_bands=2, band_axis=2)
+    lm, gm = jax.value_and_grad(build_loss_fn(base))(image, params, consts)
+    lb, gb = jax.value_and_grad(build_loss_fn(banded))(image, params, consts)
+    np.testing.assert_allclose(lb, lm, rtol=2e-5)
+    np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
+
+
+def test_banded_axis_auto_picks_columns_when_wide():
+    """band_axis=0 resolves to columns only above 1536 px width."""
+    rng = np.random.RandomState(4)
+    h, w = 96, 250
+    params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
+    image = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    content = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    style = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    base = StepConfig(compute_dtype=None)
+    consts = _consts(params, base, content, style)
+    # Not wide enough for auto-columns; explicit axis=2 with odd W still
+    # matches (bounds quantize, floor pooling).
+    banded = StepConfig(compute_dtype=None, n_bands=3, band_axis=2)
+    lm, gm = jax.value_and_grad(build_loss_fn(base))(image, params, consts)
+    lb, gb = jax.value_and_grad(build_loss_fn(banded))(image, params, consts)
+    np.testing.assert_allclose(lb, lm, rtol=2e-5)
+    np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
