@@ -76,10 +76,11 @@ class StepConfig:
     n_bands: int = 0
     band_cut: int = 9  # last banded layer (9 = pool2); > last tap = full trunk
     band_halo: int = 0  # 0 => receptive_halo of the banded layers
-    # Banded spatial axis: 0 = auto (rows, unless the image is wider than
-    # 1536 px — then columns, so slab width stays in the regime where the
-    # paired pool formulation and narrow-tensor layouts win), 1 = rows,
-    # 2 = columns.
+    # Banded spatial axis: 0/1 = rows (default), 2 = columns. Column
+    # banding was measured NET SLOWER on v5e at standard aspects (2896x2172
+    # @12 bands: 270 vs 207 ms/iter rows; the narrow-wide slab shape starves
+    # the conv emitters even though paired pools then apply) — it exists for
+    # extreme-aspect (panorama) inputs where row slabs would span a giant W.
     band_axis: int = 0
     # 'xla' = monolithic/banded XLA trunk (n_bands decides); 'pallas' = fused
     # Pallas early-trunk kernel (conv1_1..pool2 in VMEM, ops/pallas/trunk.py)
@@ -265,9 +266,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
             if cfg.remat:
                 early_fn = jax.checkpoint(early_fn)
                 late_fn = jax.checkpoint(late_fn)
-            axis = cfg.band_axis
-            if axis == 0:
-                axis = 2 if image.shape[2] > 1536 else 1
+            axis = 1 if cfg.band_axis == 0 else cfg.band_axis
             moments, content_acc = banded_stats(
                 early_fn, late_fn if late_taps else None, image,
                 style_layers=cfg.style_layers,

@@ -155,8 +155,9 @@ def test_banded_columns_match():
     np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
 
 
-def test_banded_axis_auto_picks_columns_when_wide():
-    """band_axis=0 resolves to columns only above 1536 px width."""
+def test_banded_columns_odd_width_match():
+    """Explicit column banding with non-quantum W: bounds quantize,
+    floor pooling still matches the monolithic trunk column-for-column."""
     rng = np.random.RandomState(4)
     h, w = 96, 250
     params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
