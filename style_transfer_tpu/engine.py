@@ -290,11 +290,12 @@ class StyleTransfer:
     # Hybrid banding (ops/banded.py) engages where XLA's giant-tensor conv
     # tiling dominates. Measured on v5e: full-trunk banding LOSES at
     # 2896x2172 (80 px halo recompute, 317-380 ms vs 286 monolithic); the
-    # pool2-cut hybrid WINS from ~0.8 Mpx up at ~0.5 Mpx slabs —
-    # 2896x2172: 245 ms @12 bands (vs 286); 1448x1086: 71.5 @3 (vs 86);
-    # 1024x768: 30.5 @2 (vs 31.8).
+    # pool2-cut hybrid WINS from ~0.8 Mpx up. A round-2 band-count sweep
+    # found ~340k-px slabs optimal with a floor of 4 bands — 2896x2172:
+    # 191.6 ms @18 (vs 217 @12); 2048x1536: 112.3 @9; 1448x1086: 56.6 @5;
+    # 1024x768: 26.3 @4; 724x543 stays monolithic.
     _BAND_MIN_PX = 700_000
-    _BAND_SLAB_PX = 520_000
+    _BAND_SLAB_PX = 340_000
     # Fused Pallas early trunk: 'auto' currently never engages it — as of
     # this round the kernel's VPU-bound backward (254 ms/iter fwd+bwd at
     # 2896x2172) does not yet beat the banded-XLA step (245 ms/iter total);
@@ -333,7 +334,7 @@ class StyleTransfer:
             return int(self.n_bands)
         if h * w < self._BAND_MIN_PX:
             return 0
-        return min(max(2, round(h * w / self._BAND_SLAB_PX)), h // 16)
+        return min(max(4, round(h * w / self._BAND_SLAB_PX)), h // 16)
 
     def _auto_remat(self, h, w) -> bool:
         if self.remat is not None:

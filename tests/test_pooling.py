@@ -62,3 +62,13 @@ def test_replicate_pad_matches_torch():
     ours = np.asarray(replicate_pad2d(jnp.asarray(x), 1))
     theirs = F.pad(torch.from_numpy(nhwc_to_nchw(x)), (1, 1, 1, 1), "replicate").numpy()
     np.testing.assert_allclose(ours, np.transpose(theirs, (0, 2, 3, 1)), rtol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["paired", "hpair"])
+@pytest.mark.parametrize("hw", [(8, 8), (7, 9), (6, 10)])
+def test_max_pool_impls_match_xla(impl, hw):
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, *hw, 4).astype(np.float32)
+    base = np.asarray(pool2x2(jnp.asarray(x), "max", "xla"))
+    alt = np.asarray(pool2x2(jnp.asarray(x), "max", impl))
+    np.testing.assert_allclose(alt, base, rtol=1e-6)
