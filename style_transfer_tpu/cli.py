@@ -213,6 +213,10 @@ def build_parser(stylize_fn):
                    help="early-trunk implementation (pallas = fused "
                         "conv1_1..pool2 VMEM kernel, TPU only; auto engages "
                         "it at print sizes)")
+    p.add_argument("--paired-early", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="width-paired conv1_1..relu1_2 layout (full 128-lane "
+                        "MXU tiles for the C=64 block; TPU only)")
     p.add_argument("--align", **arg_info("align"),
                    help="round optimization dims to a multiple (1 = exact "
                         "reference sizing; 8/16 avoids odd pooling cascades "
@@ -297,6 +301,8 @@ def main(argv=None):
         remat=remat,
         n_bands=n_bands,
         trunk_impl=args.trunk,
+        paired_early={"auto": None, "on": True, "off": False}[
+            args.paired_early],
         callback_chunk=args.callback_chunk,
     )
     st.seed(args.random_seed)

@@ -161,6 +161,10 @@ class StyleTransfer:
       trunk_impl: 'auto' | 'xla' | 'pallas' — 'pallas' runs conv1_1..pool2
         as the fused VMEM kernel (ops/pallas/trunk.py); 'auto' engages it on
         TPU at print sizes where it beats the banded-XLA trunk.
+      paired_early: run conv1_1..relu1_2 in the width-paired (N, H, W/2, 2C)
+        layout (full 128-lane tiles for the C=64 block, halved pool1
+        select_and_scatter; vgg.extract_features ``paired_early``). None =
+        auto (TPU, even width, single mesh).
       callback_chunk: iterations fused per device round-trip. Telemetry is
         emitted per iteration, but wall-times within a chunk are interpolated.
     """
@@ -178,6 +182,7 @@ class StyleTransfer:
         remat: Optional[bool] = None,
         n_bands: Optional[int] = None,
         trunk_impl: str = "auto",
+        paired_early: Optional[bool] = None,
         callback_chunk: int = 50,
     ):
         if devices is None:
@@ -213,6 +218,7 @@ class StyleTransfer:
         self.remat = remat
         self.n_bands = n_bands
         self.trunk_impl = trunk_impl
+        self.paired_early = paired_early
         self.callback_chunk = int(callback_chunk)
 
         # Default layer configuration (Gatys et al. 2015 taps, reference
@@ -301,6 +307,16 @@ class StyleTransfer:
     # 2896x2172) does not yet beat the banded-XLA step (245 ms/iter total);
     # see PERF.md "Pallas early trunk". Opt in with trunk_impl='pallas'.
     _PALLAS_TRUNK_MIN_PX = float("inf")
+
+    def _paired_early(self, h, w, trunk_impl: str) -> bool:
+        # Width-paired conv1_1..relu1_2 (vgg paired_early): even width and
+        # single-mesh only; the Pallas trunk replaces the early block
+        # entirely. Auto policy is measurement-driven (PERF.md "paired early
+        # trunk") — currently engages nowhere pending a measured win.
+        if self.paired_early is not None:
+            return bool(self.paired_early) and w % 2 == 0
+        del h, trunk_impl
+        return False
 
     def _im2col_layers(self, h, w) -> tuple:
         # conv3_1 / conv5_1 (torchvision 10 / 28) as explicit im2col
@@ -707,6 +723,8 @@ class StyleTransfer:
                 trunk_impl=self._trunk_impl(ch, cw),
                 n_bands=(0 if self._trunk_impl(ch, cw) == "pallas"
                          else self._n_bands(ch, cw)),
+                paired_early=self._paired_early(
+                    ch, cw, self._trunk_impl(ch, cw)),
                 pooling=self.pooling,
                 compute_dtype=self.compute_dtype,
                 step_size=step_size,
@@ -739,6 +757,8 @@ class StyleTransfer:
                             trunk_impl=self._trunk_impl(ch2, cw2),
                             n_bands=(0 if self._trunk_impl(ch2, cw2) == "pallas"
                                      else self._n_bands(ch2, cw2)),
+                            paired_early=self._paired_early(
+                                ch2, cw2, self._trunk_impl(ch2, cw2)),
                         ),
                         ch2, cw2, iterations,
                     )

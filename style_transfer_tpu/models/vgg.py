@@ -32,11 +32,17 @@ __all__ = [
     "INPUT",
     "IMAGENET_MEAN",
     "IMAGENET_STD",
+    "PAIRED_LAST",
     "min_input_size",
     "feature_shape",
     "normalize",
     "extract_features",
+    "unpair_width",
 ]
+
+# With ``paired_early``, layers 0..PAIRED_LAST emit width-paired
+# (N, H, W/2, 2C) activations; pool1 (index 4) folds back to standard.
+PAIRED_LAST = 3
 
 # Key for the raw (pre-normalization) input image in the feats dict.
 INPUT = -1
@@ -96,6 +102,103 @@ def _conv_im2col(xp, kernel, bias):
     return y.reshape(n, h, w, -1) + bias.astype(xp.dtype)
 
 
+def _conv_im2col_paired(xp, kernel, bias):
+    """conv1_1 of a 1-px-padded NHWC tensor, emitting the width-paired
+    (N, H, W/2, 2*Co) layout directly: the im2col patch matrix is built IN
+    pair space — the padded image reshapes (W+2, C) -> ((W+2)/2, 2C) once (a
+    tiny C=3-minor relayout), and the 18 tap columns are then unit-stride
+    slices at pair offsets {0, 1} — and multiplies a block-diagonal kernel.
+    2x the matmul FLOPs (half the blocks are zero) but the K dim is tiny (27
+    for C=3) and the output lands on a full 128-lane minor dim.
+
+    Building the patch matrix from pixel space and pair-merging it afterwards
+    was measured catastrophic: the (W, 9C) -> (W/2, 18C) lane-merge reshape
+    made XLA flip the layout of the *image* and its whole elementwise
+    neighborhood (EMA/Adam/TV went from ~0.1 to ~8 ms/iter at 512px).
+    """
+    n, hp, wp, c = xp.shape
+    h, w = hp - 2, wp - 2
+    half = w // 2
+    xp2 = xp.reshape(n, hp, wp // 2, 2 * c)  # pair space; wp = w + 2 even
+    # Padded pixel k = 2p + e; output pixel i taps k = i + dx, dx in {0,1,2}.
+    # Even output 2j -> (p=j+0,e=0),(j+0,e=1),(j+1,e=0); odd 2j+1 shifts one.
+    _TAPS = {0: ((0, 0), (0, 1), (1, 0)), 1: ((0, 1), (1, 0), (1, 1))}
+    cols = [
+        xp2[:, dy:dy + h, off:off + half, e * c:(e + 1) * c]
+        for parity in (0, 1)
+        for dy in range(3)
+        for off, e in _TAPS[parity]
+    ]
+    xcol = jnp.concatenate(cols, axis=-1).reshape(n * h * half, 2 * 9 * c)
+    k1 = kernel.reshape(9 * c, -1).astype(xp.dtype)
+    co = k1.shape[-1]
+    z = jnp.zeros_like(k1)
+    kcol = jnp.concatenate(
+        [jnp.concatenate([k1, z], axis=-1), jnp.concatenate([z, k1], axis=-1)],
+        axis=0,
+    )  # (18C, 2Co) block-diagonal
+    y = jnp.dot(xcol, kcol)
+    b2 = jnp.concatenate([bias, bias]).astype(xp.dtype)
+    return y.reshape(n, h, half, 2 * co) + b2
+
+
+def _pair_conv_kernel(k):
+    """(3, 3, Ci, Co) HWIO kernel -> (3, 3, 2Ci, 2Co) operating on the
+    width-paired layout. Output half o (pixel 2j+o) reads tap pixel
+    2j+o+dx, which lives in pair j+(dj-1), half (o+dx) mod 2; solving
+    dx = 2(dj-1) + ih - oh for dx in {-1,0,1} places six of the twelve
+    64x64 blocks (2x FLOPs, but the conv runs C=128-class on the MXU at
+    ~4x the C=64 emitter's throughput).
+    """
+    z = jnp.zeros_like(k[:, 0])  # (3, Ci, Co)
+
+    def rows(a2a, b2a, a2b, b2b):
+        return jnp.concatenate(
+            [jnp.concatenate([a2a, a2b], axis=-1),
+             jnp.concatenate([b2a, b2b], axis=-1)],
+            axis=-2,
+        )
+
+    dj0 = rows(z, k[:, 0], z, z)            # b->a: dx=-1
+    dj1 = rows(k[:, 1], k[:, 2], k[:, 0], k[:, 1])  # center taps
+    dj2 = rows(z, z, k[:, 2], z)            # a->b: dx=+1
+    return jnp.stack([dj0, dj1, dj2], axis=1)  # (3, 3, 2Ci, 2Co)
+
+
+def _conv_paired(x, kernel, bias):
+    """3x3 SAME conv in the width-paired layout (see _pair_conv_kernel).
+    Zero SAME-padding in pair space reproduces standard SAME padding: the
+    out-of-image half of an edge pair only ever multiplies a zero block.
+    """
+    kp = _pair_conv_kernel(kernel).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x, kp, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=_DIMNUMS,
+    )
+    b2 = jnp.concatenate([bias, bias]).astype(x.dtype)
+    return y + b2
+
+
+def _pool_max_from_paired(x):
+    """2x2/2 max pool of a width-paired tensor -> standard (N, H/2, W/2, C).
+    The W-pair max is an elementwise max of the channel halves; only the
+    H-pair reduction needs a (2,1) reduce_window, so the select_and_scatter
+    backward runs over half the volume of a standard 2x2 window."""
+    c = x.shape[-1] // 2
+    m = jnp.maximum(x[..., :c], x[..., c:])
+    return lax.reduce_window(
+        m, -jnp.inf, lax.max, (1, 2, 1, 1), (1, 2, 1, 1), "VALID"
+    )
+
+
+def unpair_width(x):
+    """(N, H, W/2, 2C) width-paired -> standard (N, H, W, C) (relayout copy;
+    only used when a raw early tap must leave the paired domain)."""
+    n, h, wp, c2 = x.shape
+    c = c2 // 2
+    return x.reshape(n, h, wp, 2, c).reshape(n, h, wp * 2, c)
+
+
 def _conv(x, kernel, bias, first: bool, im2col: bool = False):
     if first:  # conv1_1: replicate padding (ref :38-39)
         return _conv_im2col(replicate_pad2d(x, 1), kernel, bias)
@@ -126,6 +229,7 @@ def extract_features(
     cast_layer: int = 0,
     start_layer: int = 0,
     im2col_layers: Sequence[int] = (),
+    paired_early: bool = False,
 ):
     """Run the VGG-19 trunk up to the last requested layer.
 
@@ -146,6 +250,16 @@ def extract_features(
         path to continue from a materialized cut-point tensor).
       im2col_layers: conv layer indices to run as explicit im2col matmuls
         instead of ``lax.conv`` (see ``_conv_im2col``; conv1_1 always is).
+      paired_early: run layers 0..PAIRED_LAST in the width-paired
+        (N, H, W/2, 2C) layout — conv1_1 emits pairs directly, conv1_2 runs
+        as a (3,3,128,128) block conv at full MXU lane occupancy (the
+        standard C=64 block was measured at 45 TF/s and its tensors tile
+        half-empty, 2x HBM waste), and pool1 folds back to the standard
+        layout with only an H-direction select_and_scatter. Taps at layers
+        <= PAIRED_LAST are RETURNED PAIRED — consumers fold statistics
+        (losses.w2_moments_paired) or call :func:`unpair_width`. Requires
+        even W and ``start_layer == 0``; non-max pooling unpaires before
+        pool1 (correct, one relayout copy).
 
     Returns:
       dict mapping ``INPUT`` (-1) -> the raw image and each tapped index -> its
@@ -170,10 +284,35 @@ def extract_features(
         if compute_dtype is not None and cast_layer == 0:
             x = x.astype(compute_dtype)
 
+    if paired_early:
+        if start_layer > 0:
+            raise ValueError("paired_early requires start_layer == 0")
+        if image.shape[2] % 2:
+            raise ValueError("paired_early requires an even input width")
+
     wanted = set(layers)
     for i in range(start_layer, last + 1):
         if compute_dtype is not None and i == cast_layer and cast_layer > 0:
             x = x.astype(compute_dtype)
+        if paired_early and i <= PAIRED_LAST + 1:
+            if i == 0:
+                x = _conv_im2col_paired(
+                    replicate_pad2d(x, 1), params["conv0_kernel"],
+                    params["conv0_bias"])
+            elif i in _CONV_SET:
+                x = _conv_paired(
+                    x, params[f"conv{i}_kernel"], params[f"conv{i}_bias"])
+            elif i in _POOL_SET:  # pool1 folds back to the standard layout
+                if pooling == "max":
+                    x = _pool_max_from_paired(x)
+                else:
+                    x = pool2x2(unpair_width(x), pooling, "xla")
+                    x = x * jnp.asarray(pool_scale, x.dtype)
+            else:
+                x = jnp.maximum(x, 0)
+            if i in wanted:
+                feats[i] = x
+            continue
         if i in _CONV_SET:
             x = _conv(x, params[f"conv{i}_kernel"], params[f"conv{i}_bias"],
                       i == 0, im2col=i in im2col_layers)

@@ -114,6 +114,7 @@ def banded_stats(
     cut_layer: int = DEFAULT_CUT,
     halo: int = 0,
     axis: int = 1,
+    paired_last: int = -1,
 ):
     """Accumulate loss statistics over halo-slabs of ``image``.
 
@@ -135,6 +136,11 @@ def banded_stats(
         Column banding keeps slab WIDTH small, which on TPU keeps the
         per-pool paired formulation applicable (w <= 1536) at giant
         widths where row slabs span the full image width.
+      paired_last: when ``early_fn`` runs the width-paired early trunk
+        (vgg ``paired_early``), the last layer index whose tap is paired
+        (vgg.PAIRED_LAST); -1 = standard layout. Paired taps fold their
+        moments per channel half; paired content taps unpair. Must be <
+        ``cut_layer`` (the re-assembled cut activation stays standard).
 
     Returns:
       (moments, content_acc): moments[layer] = (mean (N,C), srm (N,C,C))
@@ -143,6 +149,8 @@ def banded_stats(
     """
     if axis not in (1, 2):
         raise ValueError("axis must be 1 (rows) or 2 (columns)")
+    if paired_last >= cut_layer:
+        raise ValueError("paired_last must be below cut_layer")
     h, w = image.shape[1:3]
     ext = image.shape[axis]  # banded spatial extent
     early_style = [l for l in style_layers if l <= cut_layer]
@@ -162,18 +170,27 @@ def banded_stats(
         d[key] = x if key not in d else d[key] + x
 
     def _moment_update(layer, v):
-        vf = v.astype(jnp.float32)
-        _acc(sums, layer, jnp.sum(vf, axis=(1, 2)))
-        # Contract (h, w) directly — the (n, bh*bw, c) reshape materializes
-        # a relayout copy of the slab tap (and its VJP one of the
-        # cotangent); measured ~18 ms/iter across bands at 6 Mpx.
-        _acc(outers, layer, jnp.einsum(
-            "nhwc,nhwd->ncd", v, v,
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32,
-        ))
+        if layer <= paired_last:  # width-paired tap: fold channel halves
+            c = v.shape[-1] // 2
+            halves = (v[..., :c], v[..., c:])
+        else:
+            halves = (v,)
+        for u in halves:
+            _acc(sums, layer, jnp.sum(u.astype(jnp.float32), axis=(1, 2)))
+            # Contract (h, w) directly — the (n, bh*bw, c) reshape
+            # materializes a relayout copy of the slab tap (and its VJP one
+            # of the cotangent); measured ~18 ms/iter across bands at 6 Mpx.
+            _acc(outers, layer, jnp.einsum(
+                "nhwc,nhwd->ncd", u, u,
+                precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32,
+            ))
 
     def _content_update(layer, v, off0):
+        if layer <= paired_last:
+            from ..models.vgg import unpair_width
+
+            v = unpair_width(v)
         tgt = _slab(content_targets[layer], off0, off0 + v.shape[axis])
         diff = v.astype(jnp.float32) - tgt.astype(jnp.float32)
         _acc(content_sse, layer, jnp.sum(jnp.square(diff)))
@@ -189,7 +206,13 @@ def banded_stats(
         for layer in sorted(set(early_style) | set(early_content) | {cut_layer}):
             p = pool_stride(layer)
             fs = (s - s2) // p
-            v = _slab(feats[layer], fs, fs + _owned(ext, s, e, p))
+            cnt = _owned(ext, s, e, p)
+            if layer <= paired_last and axis == 2:
+                # Width-paired feature: column indices live in pair space
+                # (all offsets even — band bounds and halos are multiples
+                # of the 16-px quantum).
+                fs, cnt = fs // 2, cnt // 2
+            v = _slab(feats[layer], fs, fs + cnt)
             if layer in early_style:
                 _moment_update(layer, v)
             if layer in early_content:

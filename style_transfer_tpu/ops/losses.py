@@ -41,6 +41,7 @@ __all__ = [
     "gram_loss",
     "W2Target",
     "w2_moments",
+    "w2_moments_paired",
     "w2_target",
     "w2_loss",
     "tv_loss",
@@ -112,6 +113,28 @@ def w2_moments(feats):
         precision=jax.lax.Precision.HIGH,
         preferred_element_type=jnp.float32,
     ) / jnp.asarray(h * w, jnp.float32)
+    return mean, srm
+
+
+def w2_moments_paired(feats):
+    """`w2_moments` of a width-paired (N, H, W/2, 2C) tensor (vgg.py
+    ``paired_early``): the channel halves are the even/odd pixels of the
+    same C channels, so the fold is two half-size direct-contraction
+    einsums summed — identical values to unpairing first, with no
+    relayout copy of the full-resolution tap.
+    """
+    n, h, wp, c2 = feats.shape
+    c = c2 // 2
+    a, b = feats[..., :c], feats[..., c:]
+    npix = jnp.asarray(h * wp * 2, jnp.float32)
+    mean = (jnp.sum(_f32(a), axis=(1, 2)) + jnp.sum(_f32(b), axis=(1, 2))) / npix
+    hi = jax.lax.Precision.HIGH
+    srm = (
+        jnp.einsum("nhwc,nhwd->ncd", a, a, precision=hi,
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("nhwc,nhwd->ncd", b, b, precision=hi,
+                     preferred_element_type=jnp.float32)
+    ) / npix
     return mean, srm
 
 

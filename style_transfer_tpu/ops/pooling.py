@@ -17,8 +17,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["POOLING_SCALES", "pool2x2", "max_pool2x2",
-           "max_pool2x2_paired", "max_pool2x2_hpair", "replicate_pad2d",
-           "safe_sqrt"]
+           "max_pool2x2_paired", "replicate_pad2d", "safe_sqrt"]
 
 # Reference style_transfer.py:22 — activation rescale per pooling mode.
 POOLING_SCALES = {"max": 1.0, "average": 2.0, "l2": 0.78}
@@ -76,36 +75,22 @@ def max_pool2x2_paired(x):
     return jnp.maximum(v[..., :c], v[..., c:])
 
 
-def max_pool2x2_hpair(x):
-    """Max pooling via H-pair max (major-dim strided slice — elementwise
-    select backward) + a width-only reduce_window. Halves the tensor the
-    select_and_scatter backward runs over; for the giant-width tensors
-    where the paired (W,C)->(W/2,2C) lane merge loses."""
-    n, h, w, c = x.shape
-    hp = h // 2
-    x = x[:, : hp * 2]
-    m = jnp.maximum(x[:, 0::2], x[:, 1::2])  # (n, hp, w, c)
-    return lax.reduce_window(
-        m, -jnp.inf, lax.max, (1, 1, 2, 1), (1, 1, 2, 1), "VALID"
-    )
-
-
 def pool2x2(x, mode: str, impl: str = "xla"):
     """2x2 stride-2 pooling over NHWC, floor semantics on odd dims.
 
     ``l2`` follows ``nn.LPPool2d(2, 2)``: root of the *sum* (not mean) of
     squares over the window. ``impl`` selects the max-pool formulation
-    ('xla' reduce_window, 'paired', or 'hpair'; extract_features resolves
-    'auto' per-pool). A fused Pallas max-pool was built and measured in
-    round 1 — its (H,W,C)->(H,W/2,2C) boundary relayout cost more than the
-    select_and_scatter it saved (PERF.md "maxpool saga") — so the pure-XLA
-    formulations are the alternatives kept.
+    ('xla' reduce_window or 'paired'; extract_features resolves 'auto'
+    per-pool). Two alternatives were built, measured, and dropped: a fused
+    Pallas max-pool (its (H,W,C)->(H,W/2,2C) boundary relayout cost more
+    than the select_and_scatter it saved) and an 'hpair' H-strided-max +
+    width-only reduce_window (the strided-slice backward's scatter-add
+    loses at every size: 512px 10.1 vs 8.4 ms/iter, 2896px 248 vs 191).
+    See PERF.md "maxpool saga".
     """
     if mode == "max":
         if impl == "paired":
             return max_pool2x2_paired(x)
-        if impl == "hpair":
-            return max_pool2x2_hpair(x)
         if impl != "xla":
             raise ValueError(f"unknown maxpool impl {impl!r}")
         return max_pool2x2(x)

@@ -25,7 +25,7 @@ from typing import Any, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .models.vgg import INPUT, extract_features
+from .models.vgg import INPUT, PAIRED_LAST, extract_features, unpair_width
 from .ops import losses as L
 from .parallel.mesh import constrain_image
 from .utils.ema import EMAState, ema_update
@@ -91,6 +91,12 @@ class StepConfig:
     # sidesteps XLA's conv-emitter layout pathologies, e.g. conv3_1 (10)
     # right after the pool2 cut at print sizes.
     im2col_layers: Tuple[int, ...] = ()
+    # Run conv1_1..relu1_2 in the width-paired (N, H, W/2, 2C) layout
+    # (vgg.extract_features ``paired_early``): full 128-lane tiles for the
+    # C=64 block, halved select_and_scatter at pool1. Early style taps are
+    # folded via losses.w2_moments_paired; early content taps unpair.
+    # Requires even image width.
+    paired_early: bool = False
 
     @property
     def all_layers(self) -> Tuple[int, ...]:
@@ -125,10 +131,21 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
             params, image, cfg.all_layers, pooling=cfg.pooling,
             compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
             cast_layer=cfg.cast_layer, im2col_layers=cfg.im2col_layers,
+            paired_early=cfg.paired_early,
         )
 
     if cfg.remat:
         features = jax.checkpoint(features)
+
+    def tap_moments(layer, feat):
+        if cfg.paired_early and layer <= PAIRED_LAST:
+            return L.w2_moments_paired(feat)
+        return L.w2_moments(feat)
+
+    def tap_content(layer, feat):
+        if cfg.paired_early and layer <= PAIRED_LAST:
+            return unpair_width(feat)
+        return feat
 
     if cfg.style_loss not in ("w2", "gram"):
         raise ValueError(f"unknown style_loss {cfg.style_loss!r}")
@@ -254,6 +271,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                     params, slab, early_taps, pooling=cfg.pooling,
                     compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
                     cast_layer=cfg.cast_layer,
+                    paired_early=cfg.paired_early,
                 )
 
             def late_fn(x2):
@@ -276,14 +294,15 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 cut_layer=cut,
                 halo=cfg.band_halo,
                 axis=axis,
+                paired_last=PAIRED_LAST if cfg.paired_early else -1,
             )
             tv = L.tv_loss(image)
         else:
             feats = features(params, image)
-            moments = {l: L.w2_moments(feats[l]) for l in cfg.style_layers}
+            moments = {l: tap_moments(l, feats[l]) for l in cfg.style_layers}
             content_acc = {}
             for layer in cfg.content_layers:
-                diff = (feats[layer].astype(jnp.float32)
+                diff = (tap_content(layer, feats[layer]).astype(jnp.float32)
                         - consts["content"][layer].astype(jnp.float32))
                 content_acc[layer] = (
                     jnp.sum(jnp.square(diff)), jnp.sum(jnp.abs(diff)), diff.size

@@ -64,7 +64,7 @@ def test_replicate_pad_matches_torch():
     np.testing.assert_allclose(ours, np.transpose(theirs, (0, 2, 3, 1)), rtol=1e-6)
 
 
-@pytest.mark.parametrize("impl", ["paired", "hpair"])
+@pytest.mark.parametrize("impl", ["paired"])
 @pytest.mark.parametrize("hw", [(8, 8), (7, 9), (6, 10)])
 def test_max_pool_impls_match_xla(impl, hw):
     rng = np.random.RandomState(1)
