@@ -40,9 +40,10 @@ def main():
     sqrtm_impl = "pallas" if dev.platform == "tpu" else "xla"
     maxpool_impl = "auto" if dev.platform == "tpu" else "xla"
     im2col = (10, 19, 28) if dev.platform == "tpu" else ()  # engine default @512px
+    paired = dev.platform == "tpu"  # engine default @512px (W even, <= 2048)
     runner, params, consts, state = g._build(
         n_h=SIZE, n_w=SIZE, compute_dtype=compute_dtype, sqrtm_impl=sqrtm_impl,
-        maxpool_impl=maxpool_impl, im2col_layers=im2col,
+        maxpool_impl=maxpool_impl, im2col_layers=im2col, paired_early=paired,
     )
 
     # Warmup: compile + one chunk. Synchronize via device_get — on some

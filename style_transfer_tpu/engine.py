@@ -311,12 +311,20 @@ class StyleTransfer:
     def _paired_early(self, h, w, trunk_impl: str) -> bool:
         # Width-paired conv1_1..relu1_2 (vgg paired_early): even width and
         # single-mesh only; the Pallas trunk replaces the early block
-        # entirely. Auto policy is measurement-driven (PERF.md "paired early
-        # trunk") — currently engages nowhere pending a measured win.
+        # entirely. Measured v5e (PERF.md "paired early trunk"): wins at
+        # every scale up to W=1536 slabs (512px -16%, 1024x768 -26%,
+        # 1448x1086 -19%, 2048x1536 -21%) and washes out at W=2172
+        # (2896x2172: +1%) — gate at W <= 2048.
         if self.paired_early is not None:
             return bool(self.paired_early) and w % 2 == 0
-        del h, trunk_impl
-        return False
+        del h
+        return (
+            self._is_tpu
+            and self.mesh is None
+            and trunk_impl != "pallas"
+            and w % 2 == 0
+            and w <= 2048
+        )
 
     def _im2col_layers(self, h, w) -> tuple:
         # conv3_1 / conv5_1 (torchvision 10 / 28) as explicit im2col

@@ -123,6 +123,8 @@ def main():
         k, v = kv.split("=", 1)
         if "," in v:
             cfg_kw[k] = tuple(int(x) for x in v.split(",") if x)
+        elif v in ("True", "False"):
+            cfg_kw[k] = v == "True"
         else:
             try:
                 cfg_kw[k] = int(v)
