@@ -299,9 +299,14 @@ class StyleTransfer:
     # pool2-cut hybrid WINS from ~0.8 Mpx up. A round-2 band-count sweep
     # found ~340k-px slabs optimal with a floor of 4 bands — 2896x2172:
     # 191.6 ms @18 (vs 217 @12); 2048x1536: 112.3 @9; 1448x1086: 56.6 @5;
-    # 1024x768: 26.3 @4; 724x543 stays monolithic.
+    # 1024x768: 26.3 @4; 724x543 stays monolithic. GIANT-width canvases
+    # (the reference-aspect 2172x2896 landscape) want smaller ~235k slabs:
+    # 207.3 ms @27 rows (vs 233.8 @18); paired/column variants measured
+    # within noise of it (209-215) — see PERF.md "landscape giant scale".
     _BAND_MIN_PX = 700_000
     _BAND_SLAB_PX = 340_000
+    _BAND_SLAB_PX_WIDE = 235_000  # banded-axis width > 2400
+    _BAND_WIDE_W = 2400
     # Fused Pallas early trunk: 'auto' currently never engages it — as of
     # this round the kernel's VPU-bound backward (254 ms/iter fwd+bwd at
     # 2896x2172) does not yet beat the banded-XLA step (245 ms/iter total);
@@ -312,9 +317,10 @@ class StyleTransfer:
         # Width-paired conv1_1..relu1_2 (vgg paired_early): even width and
         # single-mesh only; the Pallas trunk replaces the early block
         # entirely. Measured v5e (PERF.md "paired early trunk"): wins at
-        # every scale up to W=1536 slabs (512px -16%, 1024x768 -26%,
-        # 1448x1086 -19%, 2048x1536 -21%) and washes out at W=2172
-        # (2896x2172: +1%) — gate at W <= 2048.
+        # every scale up to W=2048 (512px -16%, 1024x768 -26%, 1448x1086
+        # -19%, 2048x1536 -21%) and is within noise of the tuned unpaired
+        # banding at giant widths (portrait 2172-wide: +1%; landscape
+        # 2896-wide @27 bands: +2%) — gate at W <= 2048.
         if self.paired_early is not None:
             return bool(self.paired_early) and w % 2 == 0
         del h
@@ -358,7 +364,9 @@ class StyleTransfer:
             return int(self.n_bands)
         if h * w < self._BAND_MIN_PX:
             return 0
-        return min(max(4, round(h * w / self._BAND_SLAB_PX)), h // 16)
+        slab = (self._BAND_SLAB_PX_WIDE if w > self._BAND_WIDE_W
+                else self._BAND_SLAB_PX)
+        return min(max(4, round(h * w / slab)), h // 16)
 
     def _auto_remat(self, h, w) -> bool:
         if self.remat is not None:
