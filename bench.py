@@ -41,9 +41,11 @@ def main():
     maxpool_impl = "auto" if dev.platform == "tpu" else "xla"
     im2col = (10, 19, 28) if dev.platform == "tpu" else ()  # engine default @512px
     paired = dev.platform == "tpu"  # engine default @512px (W even, <= 2048)
+    bands = 2 if dev.platform == "tpu" else 0  # engine default @262k px
     runner, params, consts, state = g._build(
         n_h=SIZE, n_w=SIZE, compute_dtype=compute_dtype, sqrtm_impl=sqrtm_impl,
         maxpool_impl=maxpool_impl, im2col_layers=im2col, paired_early=paired,
+        n_bands=bands,
     )
 
     # Warmup: compile + one chunk. Synchronize via device_get — on some

@@ -303,7 +303,13 @@ class StyleTransfer:
     # (the reference-aspect 2172x2896 landscape) want smaller ~235k slabs:
     # 207.3 ms @27 rows (vs 233.8 @18); paired/column variants measured
     # within noise of it (209-215) — see PERF.md "landscape giant scale".
+    # BELOW the 700k threshold a light 2-band split still wins ~4% down to
+    # ~150k px (543x724: 10.19 -> 9.81; 384x512: 6.11 -> 5.88; 512x512:
+    # 7.43 -> 7.21) and loses below it (272x362: 3.78 -> 4.04); the >=4
+    # floor above 700k re-confirmed under paired (768x1024: 18.44 @4 vs
+    # 18.85 @3, 19.48 @2).
     _BAND_MIN_PX = 700_000
+    _BAND_LIGHT_MIN_PX = 150_000  # 2-band window below _BAND_MIN_PX
     _BAND_SLAB_PX = 340_000
     _BAND_SLAB_PX_WIDE = 235_000  # banded-axis width > 2400
     _BAND_WIDE_W = 2400
@@ -362,8 +368,10 @@ class StyleTransfer:
             return 0  # sharding already splits tensors below the threshold
         if self.n_bands is not None:
             return int(self.n_bands)
-        if h * w < self._BAND_MIN_PX:
+        if h * w < self._BAND_LIGHT_MIN_PX:
             return 0
+        if h * w < self._BAND_MIN_PX:
+            return 2
         slab = (self._BAND_SLAB_PX_WIDE if w > self._BAND_WIDE_W
                 else self._BAND_SLAB_PX)
         return min(max(4, round(h * w / slab)), h // 16)
