@@ -113,33 +113,58 @@ class _AOTPrefetcher:
     keeps the nearest scale first in the queue.
     """
 
-    def __init__(self, workers: int = 2):
-        import concurrent.futures
+    # Workers are plain DAEMON threads (not a ThreadPoolExecutor): the
+    # stdlib pool's non-daemon workers are joined at interpreter exit, so a
+    # Ctrl-C during scale 1 of a cold run would hang for the 1-10 min
+    # remote compiles of every queued upcoming scale. Daemon threads let
+    # the process exit immediately; abandoned compiles are harmless.
 
-        self._ex = concurrent.futures.ThreadPoolExecutor(
-            max_workers=workers, thread_name_prefix="stt-aot"
-        )
-        self._futs = {}
+    class _Job:
+        __slots__ = ("fn", "done", "result")
+
+        def __init__(self, fn):
+            self.fn = fn
+            self.done = threading.Event()
+            self.result = None
+
+    def __init__(self, workers: int = 2):
+        import queue
+
+        self._q = queue.Queue()
+        self._jobs = {}
         self._lock = threading.Lock()
+        for i in range(workers):
+            threading.Thread(
+                target=self._worker, name=f"stt-aot-{i}", daemon=True
+            ).start()
+
+    def _worker(self):
+        while True:
+            job = self._q.get()
+            try:
+                job.result = job.fn()
+            except Exception:
+                job.result = None  # caller falls back to the JIT path
+            job.done.set()
 
     def submit(self, key, make_fn):
         with self._lock:
-            if key in self._futs:
+            if key in self._jobs:
                 return
-            self._futs[key] = self._ex.submit(make_fn)
+            job = self._Job(make_fn)
+            self._jobs[key] = job
+        self._q.put(job)
 
     def get(self, key):
         """Blocks for an in-flight job (waiting beats recompiling); returns
         None when nothing was submitted or the job failed (the caller then
         falls back to the JIT path)."""
         with self._lock:
-            fut = self._futs.get(key)
-        if fut is None:
+            job = self._jobs.get(key)
+        if job is None:
             return None
-        try:
-            return fut.result()
-        except Exception:
-            return None
+        job.done.wait()
+        return job.result
 
 
 class StyleTransfer:
@@ -328,7 +353,10 @@ class StyleTransfer:
         # banding at giant widths (portrait 2172-wide: +1%; landscape
         # 2896-wide @27 bands: +2%) — gate at W <= 2048.
         if self.paired_early is not None:
-            return bool(self.paired_early) and w % 2 == 0
+            # Explicit opt-in still honors the hard constraints (even
+            # width, single mesh, non-Pallas trunk).
+            return (bool(self.paired_early) and w % 2 == 0
+                    and self.mesh is None and trunk_impl != "pallas")
         del h
         return (
             self._is_tpu
@@ -336,6 +364,24 @@ class StyleTransfer:
             and trunk_impl != "pallas"
             and w % 2 == 0
             and w <= 2048
+        )
+
+    def _size_knobs(self, h, w) -> dict:
+        """All scale-dependent StepConfig knobs for an (h, w) canvas.
+
+        Single source of truth for both the per-scale cfg construction and
+        the AOT prefetch of upcoming scales: the prefetch cache is keyed on
+        the full cfg, so any drift between the two sites would silently turn
+        every prefetch into a cache miss (falling back to synchronous JIT).
+        """
+        trunk = self._trunk_impl(h, w)
+        return dict(
+            maxpool_impl=self._maxpool_impl(h, w),
+            im2col_layers=self._im2col_layers(h, w),
+            trunk_impl=trunk,
+            n_bands=0 if trunk == "pallas" else self._n_bands(h, w),
+            paired_early=self._paired_early(h, w, trunk),
+            remat=self._auto_remat(h, w),
         )
 
     def _im2col_layers(self, h, w) -> tuple:
@@ -742,18 +788,11 @@ class StyleTransfer:
                 style_loss=self.style_loss,
                 content_loss=self.content_loss,
                 sqrtm_impl=self.sqrtm_impl,
-                maxpool_impl=self._maxpool_impl(ch, cw),
-                im2col_layers=self._im2col_layers(ch, cw),
-                trunk_impl=self._trunk_impl(ch, cw),
-                n_bands=(0 if self._trunk_impl(ch, cw) == "pallas"
-                         else self._n_bands(ch, cw)),
-                paired_early=self._paired_early(
-                    ch, cw, self._trunk_impl(ch, cw)),
                 pooling=self.pooling,
                 compute_dtype=self.compute_dtype,
                 step_size=step_size,
                 avg_decay=avg_decay,
-                remat=self._auto_remat(ch, cw),
+                **self._size_knobs(ch, cw),
             )
 
             actual_its = initial_iterations if scale == scales[0] else iterations
@@ -773,17 +812,7 @@ class StyleTransfer:
                         align,
                     )
                     self._prefetch_scale(
-                        dataclasses.replace(
-                            cfg,
-                            remat=self._auto_remat(ch2, cw2),
-                            maxpool_impl=self._maxpool_impl(ch2, cw2),
-                            im2col_layers=self._im2col_layers(ch2, cw2),
-                            trunk_impl=self._trunk_impl(ch2, cw2),
-                            n_bands=(0 if self._trunk_impl(ch2, cw2) == "pallas"
-                                     else self._n_bands(ch2, cw2)),
-                            paired_early=self._paired_early(
-                                ch2, cw2, self._trunk_impl(ch2, cw2)),
-                        ),
+                        dataclasses.replace(cfg, **self._size_knobs(ch2, cw2)),
                         ch2, cw2, iterations,
                     )
 

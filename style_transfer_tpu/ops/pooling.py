@@ -52,9 +52,10 @@ def max_pool2x2(x):
     """2x2/2 max pooling (XLA reduce_window; select-and-scatter backward).
 
     Note on the backward: select-and-scatter costs ~2.3 ms/step at 512px on
-    a v5e. See ``max_pool2x2_paired`` (used on TPU at small sizes) and
-    ``ops/pallas/maxpool.py`` for the alternatives; PERF.md has the
-    measurement history.
+    a v5e. See ``max_pool2x2_paired`` (used on TPU where the per-pool
+    'auto' window applies) for the surviving alternative; PERF.md's
+    "maxpool saga" has the measurement history, including the dropped
+    Pallas and hpair variants.
     """
     return _maxpool_fwd_raw(x)
 

@@ -271,6 +271,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                     params, slab, early_taps, pooling=cfg.pooling,
                     compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
                     cast_layer=cfg.cast_layer,
+                    im2col_layers=cfg.im2col_layers,
                     paired_early=cfg.paired_early,
                 )
 
