@@ -440,8 +440,11 @@ class StyleTransfer:
             layers_t = key[1]
             pooling = self.pooling
 
+            flat = self.mesh is None
+
             def feat(params, img):
-                feats = extract_features(params, img, layers_t, pooling=pooling)
+                feats = extract_features(params, img, layers_t, pooling=pooling,
+                                         im2col_flatten=flat)
                 # int-keyed dict only: a mixed 'input'/int dict is not a
                 # sortable pytree at the jit boundary
                 return {l: feats[l] for l in layers_t}

@@ -84,7 +84,7 @@ def normalize(x):
     return (x - mean) / std
 
 
-def _conv_im2col(xp, kernel, bias):
+def _conv_im2col(xp, kernel, bias, flatten: bool = True):
     """3x3 conv of an already 1-px-padded NHWC tensor as an explicit im2col
     matmul. Degenerate or layout-hostile cases for XLA:TPU's conv emitters
     run at matmul efficiency this way: conv1_1 (3 input channels measured
@@ -92,14 +92,25 @@ def _conv_im2col(xp, kernel, bias):
     banded/Pallas pool2 cut, whose emitter output layout T(2,128) drags a
     10-40 ms relayout-and-refusion complex behind it at print sizes
     (PERF.md). ReLU fuses into the matmul epilogue.
+
+    ``flatten=False`` contracts the rank-4 patch tensor directly
+    (``dot_general`` over the patch dim, (n, h, w) stay free dims). Under
+    SPMD spatial sharding the flattened form's (n*h*w, 9c) reshape merges
+    the sharded H/W dims into the matmul rows, forcing GSPMD to all-gather
+    the full patch matrix (measured: f32[1,128,512,27] gathered along W on
+    a 4x2 mesh — 127 MB/step at print sizes); the rank-4 contraction keeps
+    the spatial sharding intact.
     """
     n, hp, wp, c = xp.shape
     h, w = hp - 2, wp - 2
     cols = [xp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)]
-    xcol = jnp.concatenate(cols, axis=-1).reshape(n * h * w, 9 * c)
+    xcol = jnp.concatenate(cols, axis=-1)
     kcol = kernel.reshape(9 * c, -1).astype(xp.dtype)
-    y = jnp.dot(xcol, kcol)
-    return y.reshape(n, h, w, -1) + bias.astype(xp.dtype)
+    if flatten:
+        y = jnp.dot(xcol.reshape(n * h * w, 9 * c), kcol).reshape(n, h, w, -1)
+    else:
+        y = lax.dot_general(xcol, kcol, (((3,), (0,)), ((), ())))
+    return y + bias.astype(xp.dtype)
 
 
 def _conv_im2col_paired(xp, kernel, bias):
@@ -199,12 +210,15 @@ def unpair_width(x):
     return x.reshape(n, h, wp, 2, c).reshape(n, h, wp * 2, c)
 
 
-def _conv(x, kernel, bias, first: bool, im2col: bool = False):
+def _conv(x, kernel, bias, first: bool, im2col: bool = False,
+          im2col_flatten: bool = True):
     if first:  # conv1_1: replicate padding (ref :38-39)
-        return _conv_im2col(replicate_pad2d(x, 1), kernel, bias)
+        return _conv_im2col(replicate_pad2d(x, 1), kernel, bias,
+                            flatten=im2col_flatten)
     if im2col:
         return _conv_im2col(
-            jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))), kernel, bias)
+            jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))), kernel, bias,
+            flatten=im2col_flatten)
     padding = "SAME"
     # No preferred_element_type here: the TPU MXU already accumulates bf16
     # convolutions in f32 internally, and a widened output dtype would break
@@ -230,6 +244,7 @@ def extract_features(
     start_layer: int = 0,
     im2col_layers: Sequence[int] = (),
     paired_early: bool = False,
+    im2col_flatten: bool = True,
 ):
     """Run the VGG-19 trunk up to the last requested layer.
 
@@ -250,6 +265,10 @@ def extract_features(
         path to continue from a materialized cut-point tensor).
       im2col_layers: conv layer indices to run as explicit im2col matmuls
         instead of ``lax.conv`` (see ``_conv_im2col``; conv1_1 always is).
+      im2col_flatten: pass False when the image is spatially sharded over a
+        mesh — the flattened (n*h*w, 9c) im2col form merges sharded dims
+        and forces GSPMD to all-gather the patch matrix (see
+        ``_conv_im2col``).
       paired_early: run layers 0..PAIRED_LAST in the width-paired
         (N, H, W/2, 2C) layout — conv1_1 emits pairs directly, conv1_2 runs
         as a (3,3,128,128) block conv at full MXU lane occupancy (the
@@ -315,7 +334,8 @@ def extract_features(
             continue
         if i in _CONV_SET:
             x = _conv(x, params[f"conv{i}_kernel"], params[f"conv{i}_bias"],
-                      i == 0, im2col=i in im2col_layers)
+                      i == 0, im2col=i in im2col_layers,
+                      im2col_flatten=im2col_flatten)
         elif i in _POOL_SET:
             impl = pool_impl
             if impl == "auto":

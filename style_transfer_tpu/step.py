@@ -132,6 +132,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
             compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
             cast_layer=cfg.cast_layer, im2col_layers=cfg.im2col_layers,
             paired_early=cfg.paired_early,
+            im2col_flatten=mesh is None,
         )
 
     if cfg.remat:
@@ -326,7 +327,8 @@ def build_loss_terms_fn(cfg: StepConfig, mesh=None):
 
     def features(params, image):
         return extract_features(
-            params, image, cfg.all_layers, pooling=cfg.pooling, compute_dtype=cfg.dtype
+            params, image, cfg.all_layers, pooling=cfg.pooling,
+            compute_dtype=cfg.dtype, im2col_flatten=mesh is None,
         )
 
     def terms(image, params, consts):

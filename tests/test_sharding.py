@@ -99,6 +99,43 @@ def test_sharded_full_step_matches_unsharded(vgg_params):
     assert np.abs(img_sh - img_ref).mean() < 0.01
 
 
+def test_sharded_step_has_no_all_gather(vgg_params):
+    """The sharded step must move only halo strips (collective-permute) and
+    reduced statistics (all-reduce) over the mesh — never a full activation.
+    Regression guard for the im2col flatten bug: the (n*h*w, 9c) patch-matrix
+    reshape merged the sharded W dim into the matmul rows, and GSPMD
+    responded by all-gathering the full f32 patch tensor every iteration
+    (127 MB/step at print sizes)."""
+    from style_transfer_tpu.ops import losses as L
+    from style_transfer_tpu.step import (
+        LoopState, StepConfig, adam_init, make_adam_runner,
+    )
+    from style_transfer_tpu.utils.ema import ema_init
+
+    rng = np.random.RandomState(2)
+    image = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32))
+    content = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32))
+    style = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    # im2col deep layers + paired-capable pooling: the configs the engine
+    # actually runs on TPU meshes.
+    cfg = StepConfig(compute_dtype="bfloat16", maxpool_impl="auto",
+                     im2col_layers=(10, 19, 28))
+
+    cf = extract_features(vgg_params, content, cfg.content_layers)
+    sf = extract_features(vgg_params, style, cfg.style_layers)
+    consts = {
+        "content": {l: cf[l] for l in cfg.content_layers},
+        "style": {l: L.w2_target(*L.w2_moments(sf[l])) for l in cfg.style_layers},
+    }
+    mesh = make_mesh(n_devices=8)
+    runner = make_adam_runner(cfg, mesh)
+    x = shard_image(image, mesh)
+    state = LoopState(image=x, opt=adam_init(x), ema=ema_init(x, 0.99))
+    text = runner.lower(vgg_params, consts, state, 2).compile().as_text()
+    assert "all-gather(" not in text, "sharded step all-gathers an activation"
+    assert "all-to-all(" not in text
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 4, 8])
 def test_engine_multidevice_smoke(n, content_pil, style_pil):
