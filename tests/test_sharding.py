@@ -135,6 +135,18 @@ def test_sharded_step_has_no_all_gather(vgg_params):
     assert "all-gather(" not in text, "sharded step all-gathers an activation"
     assert "all-to-all(" not in text
 
+    # And the TPU-config sharded numerics (auto paired pools, im2col deep
+    # convs, rank-4 im2col contraction) must still match the unsharded step.
+    state_sh, loss_sh = runner(vgg_params, consts, state, 3)
+    runner1 = make_adam_runner(cfg, None)
+    state1 = LoopState(image=image, opt=adam_init(image),
+                       ema=ema_init(image, 0.99))
+    state1, loss1 = runner1(vgg_params, consts, state1, 3)
+    np.testing.assert_allclose(
+        np.asarray(loss_sh), np.asarray(loss1), rtol=2e-2)
+    assert np.abs(np.asarray(state_sh.image)
+                  - np.asarray(state1.image)).mean() < 0.01
+
 
 @pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 4, 8])
