@@ -57,6 +57,9 @@ from ...models.vgg import IMAGENET_MEAN, IMAGENET_STD
 __all__ = ["early_trunk_stats", "pack_trunk_params", "TILE", "CUT_LAYER"]
 
 TILE = 64  # owned image rows/cols per grid step (multiple of 16)
+CONV_IMPL = "concat"  # "concat": (A,B,3C) input lane-concat (one matmul);
+# "ky3": three per-ky matmuls with output-row-shift accumulation — no input
+# concat materialization (A/B candidate for the kernel's VPU-bound traffic).
 HALO_F = 8  # receptive halo through pool2 (multiple of 4); the backward
 # needs no more: a2/a4 arrive as stored residuals, so its recompute
 # (conv1_1 + conv2_1) and cotangent chain stay within the same 8 px.
@@ -155,24 +158,44 @@ def _shift_cols(v, d):
 
 
 def _conv3x3(v, wcat, bias, co):
-    """SAME 3x3 conv of (A, B, C) by packed (3C, 3*cp) via one matmul + two
-    shifted adds (cp = kx block width, >= 128 and vreg-aligned). Returns the
-    (A, B, co) pre-activation in the INPUT dtype (edge columns/rows carry
-    garbage one ring deep — callers track the valid margin).
+    """SAME 3x3 conv of (A, B, C) by packed (3C, 3*cp): rows (ky, ci), cols
+    (kx, co) with cp = kx block width >= 128 and vreg-aligned. Returns the
+    (A, B, co) pre-activation (edge columns/rows carry garbage one ring
+    deep — callers track the valid margin).
 
-    Partial products and the combine stay f32 (Mosaic requires a 32-bit
-    matmul accumulator; a post-dot bf16 cast measured net-slower)."""
+    Two formulations (``CONV_IMPL``), identical values:
+      * "concat": lane-concat the three row shifts into an (A, B, 3C) input
+        and run ONE matmul;
+      * "ky3": one matmul per ky block on the UNSHIFTED input, row-shifting
+        the f32 partial products instead (a row shift commutes with the
+        per-row matmul, and zero-filled rows map to zero partials). This
+        never materializes the widened input — the lane concat is the
+        kernel's main relayout traffic.
+    Both fold kx with two shifted adds on the f32 partials. Partial products
+    and the combine stay f32 (Mosaic requires a 32-bit matmul accumulator;
+    a post-dot bf16 cast measured net-slower)."""
     a, b, c = v.shape
-    t = jnp.concatenate(
-        [_shift_rows(v, 1), v, _shift_rows(v, -1)], axis=-1
-    )  # (A,B,3C): block ky reads in[y+ky-1]
-    p = lax.dot_general(
-        t.reshape(a * b, 3 * c), wcat,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
     cp = wcat.shape[1] // 3
-    p = p.reshape(a, b, 3 * cp)
+    if CONV_IMPL == "ky3":
+        vf = v.reshape(a * b, c)
+        p = None
+        for ky in range(3):
+            pk = lax.dot_general(
+                vf, wcat[ky * c:(ky + 1) * c],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(a, b, 3 * cp)
+            pk = _shift_rows(pk, 1 - ky)  # out[y] += v[y + ky - 1] @ w[ky]
+            p = pk if p is None else p + pk
+    else:
+        t = jnp.concatenate(
+            [_shift_rows(v, 1), v, _shift_rows(v, -1)], axis=-1
+        )  # (A,B,3C): block ky reads in[y+ky-1]
+        p = lax.dot_general(
+            t.reshape(a * b, 3 * c), wcat,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(a, b, 3 * cp)
     out = p[..., cp:cp + co]
     out = out + _shift_cols(p[..., :co], 1)  # kx=0 tap: out[x] += P[x-1]
     out = out + _shift_cols(p[..., 2 * cp:2 * cp + co], -1)  # kx=2: P[x+1]

@@ -86,6 +86,49 @@ def test_grad_matches_monolithic(h, w):
     )
 
 
+def test_conv_impl_ky3_matches(h=100, w=92):
+    """CONV_IMPL='ky3' (per-ky matmuls, output-row-shift accumulation; no
+    input lane-concat) computes the same trunk as the 'concat' formulation.
+    Tolerances are f32-reassociation loose: the ky partial sums associate
+    differently."""
+    import style_transfer_tpu.ops.pallas.trunk as trunk
+
+    rng = np.random.RandomState(3)
+    image = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+
+    def run():
+        cut, mom = early_trunk_stats(
+            PARAMS, image, compute_dtype=jnp.float32, interpret=True
+        )
+        g = jax.grad(lambda im: _flat_loss(*early_trunk_stats(
+            PARAMS, im, compute_dtype=jnp.float32, interpret=True
+        )))(image)
+        return cut, mom, g
+
+    assert trunk.CONV_IMPL == "concat"
+    cut0, mom0, g0 = run()
+    trunk.CONV_IMPL = "ky3"
+    try:
+        cut1, mom1, g1 = run()
+    finally:
+        trunk.CONV_IMPL = "concat"
+    np.testing.assert_allclose(
+        np.asarray(cut1), np.asarray(cut0), rtol=1e-4, atol=1e-4
+    )
+    for l in (1, 6):
+        for a, b in zip(mom1[l], mom0[l]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+    # Gradients: the changed f32 association can flip which element wins a
+    # near-tied max-pool window, rerouting that window's whole cotangent —
+    # an O(1) localized difference that is correct for both orderings.
+    # Require elementwise agreement outside a small flip budget.
+    g0, g1 = np.asarray(g0), np.asarray(g1)
+    mismatch = np.abs(g1 - g0) > 1e-4 + 1e-4 * np.abs(g0)
+    assert mismatch.mean() < 0.01, f"{mismatch.sum()}/{mismatch.size}"
+
+
 def test_grad_w2_loss_path(h=96, w=96):
     """End-to-end W2 loss gradient through the kernel (the real use)."""
     rng = np.random.RandomState(2)
