@@ -56,7 +56,10 @@ from ...models.vgg import IMAGENET_MEAN, IMAGENET_STD
 
 __all__ = ["early_trunk_stats", "pack_trunk_params", "TILE", "CUT_LAYER"]
 
-TILE = 64  # owned image rows/cols per grid step (multiple of 16)
+TILE = 64  # default owned image rows/cols per grid step (multiple of 16);
+# larger tiles cut the halo-slab overlap tax ((T+2h)^2/T^2: 1.56x at 64,
+# 1.27x at 128) at the cost of bigger VMEM working sets — overridable per
+# call (StepConfig.pallas_tile).
 CONV_IMPL = "concat"  # "concat": (A,B,3C) input lane-concat (one matmul);
 # "ky3": three per-ky matmuls with output-row-shift accumulation — no input
 # concat materialization (A/B candidate for the kernel's VPU-bound traffic).
@@ -381,8 +384,8 @@ def _forward_tile(x, refs, i, j, halo, H, W, T, cdt):
 
 def _fwd_kernel(ximg, w0, b0, w1, b1, w2, b2, w3, b3,
                 cut_ref, s1_ref, m1_ref, s6_ref, m6_ref, a2_ref, a4_ref,
-                *, H, W, cdt):
-    T, halo = TILE, HALO_F
+                *, H, W, cdt, T):
+    halo = HALO_F
     e = T + 2 * halo
     i, j = pl.program_id(0), pl.program_id(1)
     k = i * pl.num_programs(1) + j
@@ -436,8 +439,8 @@ def _fwd_kernel(ximg, w0, b0, w1, b1, w2, b2, w3, b3,
 
 def _bwd_kernel(ximg, a2s, a4s, gcut, w0, b0, w2, b2,
                 w0t, w1t, w2t, w3t, gs1, gm1, gs6, gm6,
-                dimg_ref, *, H, W, cdt):
-    T, halo = TILE, HALO_F
+                dimg_ref, *, H, W, cdt, T):
+    halo = HALO_F
     i, j = pl.program_id(0), pl.program_id(1)
 
     x = ximg[0, 0]
@@ -557,24 +560,24 @@ def _params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
-def _image_slabs(image, packed):
+def _image_slabs(image, packed, tile):
     """Haloed image slabs for both kernels — built once and passed through
     the VJP residuals: the Pallas boundary forces a tiled layout that pads
     the 3-channel minor dim 42x in HBM, so ONE such buffer must be shared
     by the forward and backward instead of being rebuilt in each."""
     H, W = image.shape[1:3]
-    nth, ntw = _cdiv(H, TILE), _cdiv(W, TILE)
-    return _tile_slabs(image[0].astype(packed["w1"].dtype), TILE, HALO_F,
+    nth, ntw = _cdiv(H, tile), _cdiv(W, tile)
+    return _tile_slabs(image[0].astype(packed["w1"].dtype), tile, HALO_F,
                        nth, ntw)
 
 
 def _fwd_call(slabs, packed, static):
-    H, W, interpret = static
+    H, W, interpret, TILE = static
     nth, ntw = _cdiv(H, TILE), _cdiv(W, TILE)
     e = TILE + 2 * HALO_F
     cdt = packed["w1"].dtype
 
-    kernel = functools.partial(_fwd_kernel, H=H, W=W, cdt=cdt)
+    kernel = functools.partial(_fwd_kernel, H=H, W=W, cdt=cdt, T=TILE)
     out = pl.pallas_call(
         kernel,
         grid=(nth, ntw),
@@ -613,7 +616,7 @@ def _fwd_call(slabs, packed, static):
 
 
 def _bwd_call(xslabs, a2, a4, packed, g_cut, gs1, gm1, gs6, gm6, static):
-    H, W, interpret = static
+    H, W, interpret, TILE = static
     nth, ntw = _cdiv(H, TILE), _cdiv(W, TILE)
     cdt = packed["w1"].dtype
     e = TILE + 2 * HALO_F
@@ -622,7 +625,7 @@ def _bwd_call(xslabs, a2, a4, packed, g_cut, gs1, gm1, gs6, gm6, static):
     gslabs = _tile_slabs(
         _f32(g_cut[0]).astype(cdt), TILE // 4, HALO_F // 4, nth, ntw)
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, H=H, W=W, cdt=cdt),
+        functools.partial(_bwd_kernel, H=H, W=W, cdt=cdt, T=TILE),
         grid=(nth, ntw),
         in_specs=[_slab_spec(e, 3), _slab_spec(e, 64),
                   _slab_spec(e // 2, 128), _slab_spec(e // 4, 128)]
@@ -648,11 +651,12 @@ def _bwd_call(xslabs, a2, a4, packed, g_cut, gs1, gm1, gs6, gm6, static):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _early_trunk(image, packed, static):
-    return _fwd_call(_image_slabs(image, packed), packed, static)[:5]
+    return _fwd_call(_image_slabs(image, packed, static[3]), packed,
+                     static)[:5]
 
 
 def _early_trunk_fwd(image, packed, static):
-    slabs = _image_slabs(image, packed)
+    slabs = _image_slabs(image, packed, static[3])
     out = _fwd_call(slabs, packed, static)
     return out[:5], (slabs, out[5], out[6], packed)
 
@@ -676,6 +680,7 @@ def early_trunk_stats(
     *,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    tile: int = TILE,
 ) -> Tuple[jnp.ndarray, Dict[int, Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Run the fused early trunk (conv1_1..pool2) over ``image``.
 
@@ -685,6 +690,9 @@ def early_trunk_stats(
       compute_dtype: trunk dtype (bf16 on TPU; f32 for CPU-interpreter
         equivalence tests).
       interpret: run via the Mosaic interpreter (CPU testing).
+      tile: owned image rows/cols per grid step (multiple of 16). Larger
+        tiles shrink the halo-slab overlap tax but grow the VMEM working
+        set quadratically.
 
     Returns:
       (cut, moments): ``cut`` is the pool2 activation (1, H//4, W//4, 128)
@@ -695,8 +703,11 @@ def early_trunk_stats(
     n, H, W, _ = image.shape
     if n != 1:
         raise ValueError("early_trunk_stats expects a single image")
+    if tile % 16:
+        raise ValueError("tile must be a multiple of 16")
     packed = pack_trunk_params(params, jnp.dtype(compute_dtype))
-    cut, s1, m1, s6, m6 = _early_trunk(image, packed, (H, W, bool(interpret)))
+    cut, s1, m1, s6, m6 = _early_trunk(
+        image, packed, (H, W, bool(interpret), int(tile)))
     np1 = jnp.asarray(H * W, jnp.float32)
     np2 = jnp.asarray((H // 2) * (W // 2), jnp.float32)
     moments = {

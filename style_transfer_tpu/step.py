@@ -87,6 +87,9 @@ class StepConfig:
     # with the deep trunk running monolithically from the pool2 cut.
     # Single-mesh, max pooling, default early taps only.
     trunk_impl: str = "xla"
+    # Pallas early-trunk owned tile edge (multiple of 16): larger tiles cut
+    # the halo-slab overlap tax, smaller ones fit VMEM more comfortably.
+    pallas_tile: int = 64
     # Conv layers to run as explicit im2col matmuls (vgg._conv_im2col):
     # sidesteps XLA's conv-emitter layout pathologies, e.g. conv3_1 (10)
     # right after the pool2 cut at print sizes.
@@ -229,6 +232,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
             compute_dtype=cfg.dtype if cfg.dtype is not None else jnp.float32,
             # Mosaic interpreter off-TPU so CPU tests exercise this path.
             interpret=jax.default_backend() != "tpu",
+            tile=cfg.pallas_tile,
         )
         late_taps = tuple(l for l in cfg.all_layers if l > CUT_LAYER)
 

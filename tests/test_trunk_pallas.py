@@ -129,6 +129,25 @@ def test_conv_impl_ky3_matches(h=100, w=92):
     assert mismatch.mean() < 0.01, f"{mismatch.sum()}/{mismatch.size}"
 
 
+@pytest.mark.parametrize("tile,h,w", [(128, 160, 192), (128, 100, 92),
+                                      (32, 96, 160)])
+def test_tile_size_matches(tile, h, w):
+    """Non-default owned-tile sizes compute identical outputs and grads."""
+    rng = np.random.RandomState(7)
+    image = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+
+    def loss_with(t):
+        return jax.value_and_grad(lambda im: _flat_loss(*early_trunk_stats(
+            PARAMS, im, compute_dtype=jnp.float32, interpret=True, tile=t
+        )))(image)
+
+    l0, g0 = loss_with(64)
+    l1, g1 = loss_with(tile)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=5e-4, atol=1e-5)
+
+
 def test_grad_w2_loss_path(h=96, w=96):
     """End-to-end W2 loss gradient through the kernel (the real use)."""
     rng = np.random.RandomState(2)
