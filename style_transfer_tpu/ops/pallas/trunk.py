@@ -63,6 +63,11 @@ TILE = 64  # default owned image rows/cols per grid step (multiple of 16);
 CONV_IMPL = "concat"  # "concat": (A,B,3C) input lane-concat (one matmul);
 # "ky3": three per-ky matmuls with output-row-shift accumulation — no input
 # concat materialization (A/B candidate for the kernel's VPU-bound traffic).
+POOL_BWD = "recompute"  # "recompute": backward re-derives max-pool routing
+# with parity-masked shifted compares (_unpool_first_max); "stored": the
+# forward also emits each window's first-max quadrant index (0..3) and the
+# backward routes with one upsample+compare+multiply — ~half the unpool VPU
+# ops for ~150 MB/iter of extra residual traffic at 6 Mpx.
 HALO_F = 8  # receptive halo through pool2 (multiple of 4); the backward
 # needs no more: a2/a4 arrive as stored residuals, so its recompute
 # (conv1_1 + conv2_1) and cotangent chain stay within the same 8 px.
@@ -229,6 +234,40 @@ def _pool2x2(v):
     )
 
 
+def _pool2x2_idx(v, cdt):
+    """2x2/2 max pool + the FIRST (row-major) max's quadrant index (0..3),
+    as a small-integer-valued cdt tensor (bf16 represents 0..3 exactly).
+    Compares in f32 (Mosaic rejects bf16 vector compares)."""
+    q = _split4(v)
+    m = jnp.maximum(
+        jnp.maximum(q[0][0], q[0][1]), jnp.maximum(q[1][0], q[1][1])
+    )
+    mf = _f32(m)
+    three = jnp.full(m.shape, 3.0, jnp.float32)
+    idx = jnp.where(
+        _f32(q[0][0]) >= mf, jnp.zeros_like(mf),
+        jnp.where(_f32(q[0][1]) >= mf, jnp.ones_like(mf),
+                  jnp.where(_f32(q[1][0]) >= mf, 2.0 * jnp.ones_like(mf),
+                            three)),
+    )
+    return m, idx.astype(cdt)
+
+
+def _unpool_stored(g, idx, act):
+    """Adjoint of 2x2/2 max pooling from a stored quadrant index: upsample
+    the pooled cotangent and index, keep positions whose window-local
+    row-major position (2*(r%2) + c%2) equals the stored index, then apply
+    the relu' mask of ``act`` (the pool's input)."""
+    gu = _up2(g)
+    iu = _f32(_up2(idx))
+    a2_, b2_ = act.shape[:2]
+    py = lax.broadcasted_iota(jnp.int32, (a2_, b2_, 1), 0) % 2
+    px = lax.broadcasted_iota(jnp.int32, (a2_, b2_, 1), 1) % 2
+    pos = (2 * py + px).astype(jnp.float32)
+    take = (iu == pos) & (_f32(act) > 0.0)
+    return jnp.where(take, gu, jnp.zeros_like(gu))
+
+
 def _rep_rows(v):
     """Element-wise 2x row repeat: (A, B, C) -> (2A, B, C) via leading-dim
     stack+merge (legal in Mosaic; element-granular sublane/lane interleaves
@@ -361,18 +400,25 @@ def _forward_l0(x, refs, i, j, halo, H, W, T, cdt):
     return a1, a2
 
 
-def _forward_tile(x, refs, i, j, halo, H, W, T, cdt):
-    """Shared fwd recompute: image slab -> (a1, a2, p1, a3, a4, p2).
-    All activations are post-relu, edge-masked, in compute dtype."""
+def _forward_tile(x, refs, i, j, halo, H, W, T, cdt, store_idx=False):
+    """Shared fwd recompute: image slab -> (a1, a2, p1, a3, a4, p2[, idxs]).
+    All activations are post-relu, edge-masked, in compute dtype. With
+    ``store_idx``, also returns the two pools' first-max quadrant indices."""
     r0 = i * T - halo
     c0 = j * T - halo
     a1, a2 = _forward_l0(x, refs, i, j, halo, H, W, T, cdt)
-    p1 = _pool2x2(a2)
+    if store_idx:
+        p1, idx1 = _pool2x2_idx(a2, cdt)
+    else:
+        p1 = _pool2x2(a2)
     p1 = _mask_image(p1, r0 // 2, c0 // 2, H // 2, W // 2)
     a3 = jnp.maximum(_conv3x3(p1, refs["w2"][:], refs["b2"][:], 128), 0.0)
     a3 = _mask_image(a3.astype(cdt), r0 // 2, c0 // 2, H // 2, W // 2)
     a4 = jnp.maximum(_conv3x3(a3, refs["w3"][:], refs["b3"][:], 128), 0.0)
     a4 = _mask_image(a4.astype(cdt), r0 // 2, c0 // 2, H // 2, W // 2)
+    if store_idx:
+        p2, idx2 = _pool2x2_idx(a4, cdt)
+        return a1, a2, p1, a3, a4, p2, idx1, idx2
     p2 = _pool2x2(a4)
     return a1, a2, p1, a3, a4, p2
 
@@ -384,7 +430,7 @@ def _forward_tile(x, refs, i, j, halo, H, W, T, cdt):
 
 def _fwd_kernel(ximg, w0, b0, w1, b1, w2, b2, w3, b3,
                 cut_ref, s1_ref, m1_ref, s6_ref, m6_ref, a2_ref, a4_ref,
-                *, H, W, cdt, T):
+                *idx_refs, H, W, cdt, T):
     halo = HALO_F
     e = T + 2 * halo
     i, j = pl.program_id(0), pl.program_id(1)
@@ -393,17 +439,23 @@ def _fwd_kernel(ximg, w0, b0, w1, b1, w2, b2, w3, b3,
     x = ximg[0, 0]
     refs = {"w0": w0, "b0": b0, "w1": w1, "b1": b1, "w2": w2, "b2": b2,
             "w3": w3, "b3": b3}
-    a1, a2, _, a3, a4, p2 = _forward_tile(x, refs, i, j, halo, H, W, T, cdt)
+    out = _forward_tile(x, refs, i, j, halo, H, W, T, cdt,
+                        store_idx=bool(idx_refs))
+    a1, a2, _, a3, a4, p2 = out[:6]
 
     # Cut activation: owned pool2 rows/cols (halo/4 = 2 deep in the buffer).
     q = halo // 4
+    h2 = halo // 2
     cut_ref[0] = p2[q:q + T // 4, q:q + T // 4].astype(cdt)
     # Residuals for the backward: storing the two expensive-to-recompute
     # activations (conv1_2's and conv2_2's outputs) costs ~2x the image in
     # HBM traffic but removes ~60% of the backward's tile recompute.
     a2_ref[0] = a2[halo:halo + T, halo:halo + T]
-    h2 = halo // 2
     a4_ref[0] = a4[h2:h2 + T // 2, h2:h2 + T // 2]
+    if idx_refs:  # stored pool routing (POOL_BWD='stored'): owned indices
+        idx1, idx2 = out[6], out[7]
+        idx_refs[0][0] = idx1[h2:h2 + T // 2, h2:h2 + T // 2]
+        idx_refs[1][0] = idx2[q:q + T // 4, q:q + T // 4]
 
     # Moment statistics over the OWNED, in-image part of the taps. Masking
     # (not slicing) keeps the buffers tile-aligned; out-of-image positions
@@ -437,11 +489,15 @@ def _fwd_kernel(ximg, w0, b0, w1, b1, w2, b2, w3, b3,
 # --------------------------------------------------------------------------
 
 
-def _bwd_kernel(ximg, a2s, a4s, gcut, w0, b0, w2, b2,
-                w0t, w1t, w2t, w3t, gs1, gm1, gs6, gm6,
-                dimg_ref, *, H, W, cdt, T):
+def _bwd_kernel(ximg, a2s, a4s, gcut, *rest,
+                H, W, cdt, T):
     halo = HALO_F
     i, j = pl.program_id(0), pl.program_id(1)
+    if POOL_BWD == "stored":
+        i1s, i2s = rest[0], rest[1]
+        rest = rest[2:]
+    (w0, b0, w2, b2, w0t, w1t, w2t, w3t,
+     gs1, gm1, gs6, gm6, dimg_ref) = rest
 
     x = ximg[0, 0]
     a2 = a2s[0, 0]
@@ -459,11 +515,14 @@ def _bwd_kernel(ximg, a2s, a4s, gcut, w0, b0, w2, b2,
     p1 = _pool2x2(a2)
     a3 = jnp.maximum(_conv3x3(p1, w2[:], b2[:], 128), 0.0)
     a3 = _mask_image(a3.astype(cdt), r0 // 2, c0 // 2, H // 2, W // 2)
-    p2 = _pool2x2(a4)
 
     # pool2 backward: route the cut cotangent to the first-max of each 2x2.
-    g4 = _unpool_first_max(g_p2.astype(cdt), a4, p2)
-    g4 = _relu_mask(g4, a4)
+    if POOL_BWD == "stored":
+        g4 = _unpool_stored(g_p2.astype(cdt), i2s[0, 0], a4)
+    else:
+        p2 = _pool2x2(a4)
+        g4 = _unpool_first_max(g_p2.astype(cdt), a4, p2)
+        g4 = _relu_mask(g4, a4)
 
     # conv2_2 transpose + relu2_1 moment cotangent injection.
     g3 = _conv3x3(g4, w3t[:], None, 128)
@@ -476,8 +535,11 @@ def _bwd_kernel(ximg, a2s, a4s, gcut, w0, b0, w2, b2,
 
     # conv2_1 transpose -> pool1 backward -> conv1_2 transpose.
     g_p1 = _conv3x3(g3, w2t[:], None, 64).astype(cdt)
-    g2 = _unpool_first_max(g_p1, a2, p1)
-    g2 = _relu_mask(g2, a2)
+    if POOL_BWD == "stored":
+        g2 = _unpool_stored(g_p1, i1s[0, 0], a2)
+    else:
+        g2 = _unpool_first_max(g_p1, a2, p1)
+        g2 = _relu_mask(g2, a2)
     g1 = _conv3x3(g2, w1t[:], None, 64)
     inj1 = gs1[:][0] + lax.dot_general(
         a1.reshape(-1, a1.shape[-1]), gm1[:],
@@ -578,44 +640,60 @@ def _fwd_call(slabs, packed, static):
     cdt = packed["w1"].dtype
 
     kernel = functools.partial(_fwd_kernel, H=H, W=W, cdt=cdt, T=TILE)
+    out_specs = [
+        pl.BlockSpec((1, TILE // 4, TILE // 4, 128),
+                     lambda i, j: (0, i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 64), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((64, 64), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE, TILE, 64), lambda i, j: (0, i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE // 2, TILE // 2, 128),
+                     lambda i, j: (0, i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, H // 4, W // 4, 128), cdt),
+        jax.ShapeDtypeStruct((1, 64), jnp.float32),
+        jax.ShapeDtypeStruct((64, 64), jnp.float32),
+        jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((1, H, W, 64), cdt),
+        jax.ShapeDtypeStruct((1, H // 2, W // 2, 128), cdt),
+    ]
+    if POOL_BWD == "stored":
+        out_specs += [
+            pl.BlockSpec((1, TILE // 2, TILE // 2, 64),
+                         lambda i, j: (0, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE // 4, TILE // 4, 128),
+                         lambda i, j: (0, i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((1, H // 2, W // 2, 64), cdt),
+            jax.ShapeDtypeStruct((1, H // 4, W // 4, 128), cdt),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(nth, ntw),
         in_specs=[_slab_spec(e, 3)] + [_vspec()] * 8,
-        out_specs=[
-            pl.BlockSpec((1, TILE // 4, TILE // 4, 128),
-                         lambda i, j: (0, i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, TILE, 64), lambda i, j: (0, i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE // 2, TILE // 2, 128),
-                         lambda i, j: (0, i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, H // 4, W // 4, 128), cdt),
-            jax.ShapeDtypeStruct((1, 64), jnp.float32),
-            jax.ShapeDtypeStruct((64, 64), jnp.float32),
-            jax.ShapeDtypeStruct((1, 128), jnp.float32),
-            jax.ShapeDtypeStruct((128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, H, W, 64), cdt),
-            jax.ShapeDtypeStruct((1, H // 2, W // 2, 128), cdt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_params(),
         interpret=interpret,
     )(slabs, *[packed[k] for k in _WKEYS])
     return tuple(out)
 
 
-def _bwd_call(xslabs, a2, a4, packed, g_cut, gs1, gm1, gs6, gm6, static):
+def _bwd_call(xslabs, a2, a4, idx1, idx2, packed,
+              g_cut, gs1, gm1, gs6, gm6, static):
     H, W, interpret, TILE = static
     nth, ntw = _cdiv(H, TILE), _cdiv(W, TILE)
     cdt = packed["w1"].dtype
@@ -624,12 +702,19 @@ def _bwd_call(xslabs, a2, a4, packed, g_cut, gs1, gm1, gs6, gm6, static):
     a4slabs = _tile_slabs(a4[0], TILE // 2, HALO_F // 2, nth, ntw)
     gslabs = _tile_slabs(
         _f32(g_cut[0]).astype(cdt), TILE // 4, HALO_F // 4, nth, ntw)
+    idx_ops, idx_specs = (), []
+    if POOL_BWD == "stored":
+        idx_ops = (
+            _tile_slabs(idx1[0], TILE // 2, HALO_F // 2, nth, ntw),
+            _tile_slabs(idx2[0], TILE // 4, HALO_F // 4, nth, ntw),
+        )
+        idx_specs = [_slab_spec(e // 2, 64), _slab_spec(e // 4, 128)]
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, H=H, W=W, cdt=cdt, T=TILE),
         grid=(nth, ntw),
         in_specs=[_slab_spec(e, 3), _slab_spec(e, 64),
                   _slab_spec(e // 2, 128), _slab_spec(e // 4, 128)]
-        + [_vspec()] * 12,
+        + idx_specs + [_vspec()] * 12,
         out_specs=pl.BlockSpec((3, TILE, 2 * TILE),
                                lambda i, j: (0, i, j // 2),
                                memory_space=pltpu.VMEM),
@@ -641,7 +726,7 @@ def _bwd_call(xslabs, a2, a4, packed, g_cut, gs1, gm1, gs6, gm6, static):
         compiler_params=_params(),
         interpret=interpret,
     )(
-        xslabs, a2slabs, a4slabs, gslabs,
+        xslabs, a2slabs, a4slabs, gslabs, *idx_ops,
         packed["w0"], packed["b0"], packed["w2"], packed["b2"],
         packed["w0t"], packed["w1t"], packed["w2t"], packed["w3t"],
         gs1, gm1, gs6, gm6,
@@ -658,16 +743,17 @@ def _early_trunk(image, packed, static):
 def _early_trunk_fwd(image, packed, static):
     slabs = _image_slabs(image, packed, static[3])
     out = _fwd_call(slabs, packed, static)
-    return out[:5], (slabs, out[5], out[6], packed)
+    idx1, idx2 = (out[7], out[8]) if POOL_BWD == "stored" else (None, None)
+    return out[:5], (slabs, out[5], out[6], idx1, idx2, packed)
 
 
 def _early_trunk_bwd(static, res, cots):
-    xslabs, a2, a4, packed = res
+    xslabs, a2, a4, idx1, idx2, packed = res
     g_cut, g_s1, g_m1, g_s6, g_m6 = cots
     gsym1 = _f32(g_m1) + _f32(g_m1).T
     gsym6 = _f32(g_m6) + _f32(g_m6).T
-    dimg = _bwd_call(xslabs, a2, a4, packed, g_cut, _f32(g_s1), gsym1,
-                     _f32(g_s6), gsym6, static)
+    dimg = _bwd_call(xslabs, a2, a4, idx1, idx2, packed, g_cut,
+                     _f32(g_s1), gsym1, _f32(g_s6), gsym6, static)
     return dimg.astype(jnp.float32), jax.tree.map(jnp.zeros_like, packed)
 
 

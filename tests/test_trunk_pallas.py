@@ -129,6 +129,32 @@ def test_conv_impl_ky3_matches(h=100, w=92):
     assert mismatch.mean() < 0.01, f"{mismatch.sum()}/{mismatch.size}"
 
 
+@pytest.mark.parametrize("h,w", [(96, 160), (100, 92)])
+def test_pool_bwd_stored_matches(h, w):
+    """POOL_BWD='stored' (first-max quadrant index recorded by the forward)
+    routes pool cotangents identically to the recompute formulation."""
+    import style_transfer_tpu.ops.pallas.trunk as trunk
+
+    rng = np.random.RandomState(11)
+    image = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+
+    def run():
+        return jax.value_and_grad(lambda im: _flat_loss(*early_trunk_stats(
+            PARAMS, im, compute_dtype=jnp.float32, interpret=True
+        )))(image)
+
+    assert trunk.POOL_BWD == "recompute"
+    l0, g0 = run()
+    trunk.POOL_BWD = "stored"
+    try:
+        l1, g1 = run()
+    finally:
+        trunk.POOL_BWD = "recompute"
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-7)
+
+
 @pytest.mark.parametrize("tile,h,w", [(128, 160, 192), (128, 100, 92),
                                       (32, 96, 160)])
 def test_tile_size_matches(tile, h, w):
