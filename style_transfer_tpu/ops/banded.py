@@ -115,6 +115,7 @@ def banded_stats(
     halo: int = 0,
     axis: int = 1,
     paired_last: int = -1,
+    n_bands_w: int = 0,
 ):
     """Accumulate loss statistics over halo-slabs of ``image``.
 
@@ -141,6 +142,11 @@ def banded_stats(
         (vgg.PAIRED_LAST); -1 = standard layout. Paired taps fold their
         moments per channel half; paired content taps unpair. Must be <
         ``cut_layer`` (the re-assembled cut activation stays standard).
+      n_bands_w: >= 2 adds a second banding level along the OTHER spatial
+        axis, producing a 2D grid of halo slabs (rows x columns when
+        ``axis == 1``). Squarer slabs keep the paired pool/early
+        formulations eligible (their w <= 1536 window) at giant widths
+        where single-axis row slabs span the whole image.
 
     Returns:
       (moments, content_acc): moments[layer] = (mean (N,C), srm (N,C,C))
@@ -160,8 +166,21 @@ def banded_stats(
                               | {cut_layer})
     bounds = band_bounds(ext, n_bands)
 
-    def _slab(x, a, b):
-        return x[:, a:b] if axis == 1 else x[:, :, a:b]
+    ax2 = 3 - axis  # the secondary banding axis (2D grid when n_bands_w >= 2)
+    ext2 = image.shape[ax2]
+    grid2d = n_bands_w >= 2
+    bounds2 = band_bounds(ext2, n_bands_w) if grid2d else (0, ext2)
+
+    def _slab(x, a, b, axis_=None):
+        ax = axis if axis_ is None else axis_
+        return x[:, a:b] if ax == 1 else x[:, :, a:b]
+
+    def _pairspace(layer, ax, off, cnt):
+        """Width-paired features index their W axis in PAIR space (all
+        offsets even — band bounds and halos are 16-px-quantum multiples)."""
+        if layer <= paired_last and ax == 2:
+            return off // 2, cnt // 2
+        return off, cnt
 
     sums, outers = {}, {}
     content_sse, content_abs, content_cnt = {}, {}, {}
@@ -186,48 +205,62 @@ def banded_stats(
                 preferred_element_type=jnp.float32,
             ))
 
-    def _content_update(layer, v, off0):
+    def _content_update(layer, v, off0, off1):
         if layer <= paired_last:
             from ..models.vgg import unpair_width
 
             v = unpair_width(v)
         tgt = _slab(content_targets[layer], off0, off0 + v.shape[axis])
+        if grid2d:
+            tgt = _slab(tgt, off1, off1 + v.shape[ax2], ax2)
         diff = v.astype(jnp.float32) - tgt.astype(jnp.float32)
         _acc(content_sse, layer, jnp.sum(jnp.square(diff)))
         _acc(content_abs, layer, jnp.sum(jnp.abs(diff)))
         content_cnt[layer] = content_cnt.get(layer, 0) + diff.size
 
-    cut_parts = []
+    all_early = sorted(set(early_style) | set(early_content) | {cut_layer})
+    cut_rows = []
     for k in range(len(bounds) - 1):
         s, e = bounds[k], bounds[k + 1]
         s2 = max(0, s - halo)
         e2 = min(ext, e + halo)
-        feats = early_fn(_slab(image, s2, e2))
-        for layer in sorted(set(early_style) | set(early_content) | {cut_layer}):
-            p = pool_stride(layer)
-            fs = (s - s2) // p
-            cnt = _owned(ext, s, e, p)
-            if layer <= paired_last and axis == 2:
-                # Width-paired feature: column indices live in pair space
-                # (all offsets even — band bounds and halos are multiples
-                # of the 16-px quantum).
-                fs, cnt = fs // 2, cnt // 2
-            v = _slab(feats[layer], fs, fs + cnt)
-            if layer in early_style:
-                _moment_update(layer, v)
-            if layer in early_content:
-                _content_update(layer, v, s // p)
-            if layer == cut_layer and late_fn is not None:
-                cut_parts.append(v)
+        row = _slab(image, s2, e2)
+        cut_cols = []
+        for m in range(len(bounds2) - 1):
+            t, u = bounds2[m], bounds2[m + 1]
+            t2 = max(0, t - halo)
+            u2 = min(ext2, u + halo)
+            feats = early_fn(_slab(row, t2, u2, ax2) if grid2d else row)
+            for layer in all_early:
+                p = pool_stride(layer)
+                fs, cnt = _pairspace(
+                    layer, axis, (s - s2) // p, _owned(ext, s, e, p))
+                v = _slab(feats[layer], fs, fs + cnt)
+                if grid2d:
+                    ft, cnt2 = _pairspace(
+                        layer, ax2, (t - t2) // p, _owned(ext2, t, u, p))
+                    v = _slab(v, ft, ft + cnt2, ax2)
+                if layer in early_style:
+                    _moment_update(layer, v)
+                if layer in early_content:
+                    _content_update(layer, v, s // p, t // p)
+                if layer == cut_layer and late_fn is not None:
+                    cut_cols.append(v)
+        if late_fn is not None:
+            cut_rows.append(
+                jnp.concatenate(cut_cols, axis=ax2)
+                if len(cut_cols) > 1 else cut_cols[0]
+            )
 
     if late_fn is not None:
-        feats2 = late_fn(jnp.concatenate(cut_parts, axis=axis))
+        feats2 = late_fn(jnp.concatenate(cut_rows, axis=axis)
+                         if len(cut_rows) > 1 else cut_rows[0])
         for layer in style_layers:
             if layer > cut_layer:
                 _moment_update(layer, feats2[layer])
         for layer in content_layers:
             if layer > cut_layer:
-                _content_update(layer, feats2[layer], 0)
+                _content_update(layer, feats2[layer], 0, 0)
 
     moments = {}
     for layer in style_layers:

@@ -82,6 +82,10 @@ class StepConfig:
     # the conv emitters even though paired pools then apply) — it exists for
     # extreme-aspect (panorama) inputs where row slabs would span a giant W.
     band_axis: int = 0
+    # >= 2 adds a second banding level along the other spatial axis (a 2D
+    # halo-slab grid): squarer slabs keep the paired pool/early trunk
+    # formulations eligible at giant widths (ops/banded.py).
+    n_bands_w: int = 0
     # 'xla' = monolithic/banded XLA trunk (n_bands decides); 'pallas' = fused
     # Pallas early-trunk kernel (conv1_1..pool2 in VMEM, ops/pallas/trunk.py)
     # with the deep trunk running monolithically from the pool2 cut.
@@ -301,6 +305,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 halo=cfg.band_halo,
                 axis=axis,
                 paired_last=PAIRED_LAST if cfg.paired_early else -1,
+                n_bands_w=cfg.n_bands_w,
             )
             tv = L.tv_loss(image)
         else:

@@ -155,6 +155,53 @@ def test_banded_columns_match():
     np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
 
 
+@pytest.mark.parametrize(
+    "h,w,paired,content_loss",
+    [
+        (256, 192, False, "mse"),   # 2x2 grid, exact quanta
+        (250, 198, False, "mse"),   # ragged dims (odd W: paired ineligible)
+        (256, 192, True, "scaled"),  # width-paired early trunk on 2D slabs
+    ],
+)
+def test_banded_2d_grid_matches(h, w, paired, content_loss):
+    """2D (rows x columns) halo-slab grid == monolithic, loss and grad —
+    squarer slabs for giant-width canvases where row slabs span the full W."""
+    rng = np.random.RandomState(5)
+    params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
+    image = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    content = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    style = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    base = StepConfig(compute_dtype=None, content_loss=content_loss)
+    consts = _consts(params, base, content, style)
+    banded = StepConfig(compute_dtype=None, content_loss=content_loss,
+                        n_bands=2, n_bands_w=2, paired_early=paired)
+    lm, gm = jax.value_and_grad(build_loss_fn(base))(image, params, consts)
+    lb, gb = jax.value_and_grad(build_loss_fn(banded))(image, params, consts)
+    np.testing.assert_allclose(lb, lm, rtol=2e-5)
+    np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
+
+
+def test_banded_2d_early_content_tap():
+    """2D grid with a content layer inside the banded region (layer 6):
+    the 2D target slicing path."""
+    rng = np.random.RandomState(6)
+    h, w = 192, 256
+    params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
+    image = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    content = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    style = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    base = StepConfig(compute_dtype=None, content_layers=(6, 22),
+                      content_weights=(0.01, 0.015))
+    consts = _consts(params, base, content, style)
+    banded = StepConfig(compute_dtype=None, content_layers=(6, 22),
+                        content_weights=(0.01, 0.015), n_bands=2,
+                        n_bands_w=3)
+    lm, gm = jax.value_and_grad(build_loss_fn(base))(image, params, consts)
+    lb, gb = jax.value_and_grad(build_loss_fn(banded))(image, params, consts)
+    np.testing.assert_allclose(lb, lm, rtol=2e-5)
+    np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
+
+
 def test_banded_columns_odd_width_match():
     """Explicit column banding with non-quantum W: bounds quantize,
     floor pooling still matches the monolithic trunk column-for-column."""
