@@ -206,8 +206,9 @@ def build_parser(stylize_fn):
                    choices=["auto", "on", "off"],
                    help="rematerialize the trunk in backward (memory vs compute)")
     p.add_argument("--bands", type=str, default="auto",
-                   help="horizontal bands for the banded trunk at print "
-                        "sizes (auto, off, or a count; see ops/banded.py)")
+                   help="bands for the banded trunk at print sizes: auto, "
+                        "off, a row count N, or RxC for a 2D slab grid "
+                        "(see ops/banded.py)")
     p.add_argument("--trunk", type=str, default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="early-trunk implementation (pallas = fused "
@@ -287,8 +288,13 @@ def main(argv=None):
     print("Loading model...")
     remat = {"auto": None, "on": True, "off": False}[args.remat]
     n_bands = {"auto": None, "off": 0}.get(args.bands, args.bands)
+    n_bands_w = None
     if isinstance(n_bands, str):
-        n_bands = int(n_bands)
+        if "x" in n_bands:  # RxC 2D slab grid
+            rows, cols = n_bands.lower().split("x", 1)
+            n_bands, n_bands_w = int(rows), int(cols)
+        else:
+            n_bands = int(n_bands)
     precision = {"auto": "auto", "bf16": "bfloat16", "f32": "float32"}[args.precision]
     st = StyleTransfer(
         devices=devices,
@@ -300,6 +306,7 @@ def main(argv=None):
         sqrtm_impl=args.sqrtm,
         remat=remat,
         n_bands=n_bands,
+        n_bands_w=n_bands_w,
         trunk_impl=args.trunk,
         paired_early={"auto": None, "on": True, "off": False}[
             args.paired_early],

@@ -181,8 +181,11 @@ class StyleTransfer:
       style_loss: 'w2' (default, reference behavior) or 'gram'.
       remat: None = auto (rematerialize the trunk only above ~14 Mpx, where
         activations would not fit HBM; remat is slower otherwise), or bool.
-      n_bands: banded halo-slab trunk (ops/banded.py); None/0 = monolithic
-        (measured faster on v5e), or an explicit band count (memory knob).
+      n_bands: banded halo-slab trunk (ops/banded.py); None = auto (engages
+        at print sizes on TPU), 0 = monolithic, or an explicit band count.
+      n_bands_w: optional second banding level along the other spatial axis
+        (2D slab grid; None = auto, currently off — single-axis row bands
+        measured best on v5e standard aspects).
       trunk_impl: 'auto' | 'xla' | 'pallas' — 'pallas' runs conv1_1..pool2
         as the fused VMEM kernel (ops/pallas/trunk.py); 'auto' engages it on
         TPU at print sizes where it beats the banded-XLA trunk.
@@ -206,6 +209,7 @@ class StyleTransfer:
         sqrtm_impl: str = "auto",
         remat: Optional[bool] = None,
         n_bands: Optional[int] = None,
+        n_bands_w: Optional[int] = None,
         trunk_impl: str = "auto",
         paired_early: Optional[bool] = None,
         callback_chunk: int = 50,
@@ -242,6 +246,7 @@ class StyleTransfer:
         self._is_tpu = self.devices[0].platform == "tpu"
         self.remat = remat
         self.n_bands = n_bands
+        self.n_bands_w = n_bands_w
         self.trunk_impl = trunk_impl
         self.paired_early = paired_early
         self.callback_chunk = int(callback_chunk)
@@ -380,6 +385,7 @@ class StyleTransfer:
             im2col_layers=self._im2col_layers(h, w),
             trunk_impl=trunk,
             n_bands=0 if trunk == "pallas" else self._n_bands(h, w),
+            n_bands_w=0 if trunk == "pallas" else self._n_bands_w(h, w),
             paired_early=self._paired_early(h, w, trunk),
             remat=self._auto_remat(h, w),
         )
@@ -421,6 +427,13 @@ class StyleTransfer:
         slab = (self._BAND_SLAB_PX_WIDE if w > self._BAND_WIDE_W
                 else self._BAND_SLAB_PX)
         return min(max(4, round(h * w / slab)), h // 16)
+
+    def _n_bands_w(self, h, w) -> int:
+        if not self._is_tpu or self.mesh is not None:
+            return 0
+        if self.n_bands_w is not None:
+            return int(self.n_bands_w)
+        return 0  # auto: row bands only (2D grid is an explicit knob)
 
     def _auto_remat(self, h, w) -> bool:
         if self.remat is not None:

@@ -79,6 +79,18 @@ def test_main_end_to_end_png(tmp_path, content_files):
     assert np.isfinite([i["loss"] for i in t["iterates"]]).all()
 
 
+def test_bands_2d_flag(tmp_path, content_files):
+    """--bands RxC parses into a 2D slab grid request and the run completes
+    (on CPU banding resolves to monolithic — the parse path is the target)."""
+    content, style = content_files
+    out = tmp_path / "o.png"
+    main([str(content), str(style), "-o", str(out),
+          "--min-scale", "64", "--end-scale", "64", "-i", "2", "-ii", "2",
+          "--callback-chunk", "2", "--bands", "4x3",
+          "--trace", str(tmp_path / "t.json")])
+    assert out.is_file()
+
+
 def test_main_16bit_tiff_output(tmp_path, content_files):
     content, style = content_files
     out = tmp_path / "out.tif"
