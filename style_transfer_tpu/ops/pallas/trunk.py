@@ -370,6 +370,56 @@ def _replicate_ring(x, i, j, halo, H, W, T):
     return x
 
 
+def _shift_ax(v, d, axis):
+    """v shifted by d along ``axis`` (zero fill), for channel-first planes."""
+    if d == 0:
+        return v
+    idx = [slice(None)] * v.ndim
+    zidx = [slice(None)] * v.ndim
+    idx[axis] = slice(None, -1) if d > 0 else slice(1, None)
+    zidx[axis] = slice(None, 1)
+    z = jnp.zeros_like(v[tuple(zidx)])
+    return (jnp.concatenate([z, v[tuple(idx)]], axis) if d > 0
+            else jnp.concatenate([v[tuple(idx)], z], axis))
+
+
+def _conv3x3_planes(v, wcat, co):
+    """Like :func:`_conv3x3` but emits CHANNEL-FIRST (co, A, B) f32 planes
+    (intended for tiny co, e.g. the conv1_1-transpose's 3 image channels):
+    elementwise work on a channels-last (A, B, 3) value costs 42x its
+    logical volume in Mosaic vregs (the 3-lane minor pads to 128), while
+    width-1 lane selects stacked on a new outer axis are a cheap legal
+    relayout and plane ops pad only A/B to the vreg tile."""
+    a, b, c = v.shape
+    cp = wcat.shape[1] // 3
+    if CONV_IMPL == "ky3":
+        vf = v.reshape(a * b, c)
+        p = None
+        for ky in range(3):
+            pk = lax.dot_general(
+                vf, wcat[ky * c:(ky + 1) * c],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(a, b, 3 * cp)
+            pk = _shift_rows(pk, 1 - ky)
+            p = pk if p is None else p + pk
+    else:
+        t = jnp.concatenate(
+            [_shift_rows(v, 1), v, _shift_rows(v, -1)], axis=-1
+        )
+        p = lax.dot_general(
+            t.reshape(a * b, 3 * c), wcat,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(a, b, 3 * cp)
+    planes = [
+        p[..., cp + c_] + _shift_ax(p[..., c_], 1, 1)
+        + _shift_ax(p[..., 2 * cp + c_], -1, 1)
+        for c_ in range(co)
+    ]
+    return jnp.stack(planes, 0)
+
+
 def _conv1_1(x, w0, b0):
     """conv1_1 on the (E, E, 3) slab: 27-column im2col matmul.
     Returns f32 (E, E, 64) (1-px edge ring garbage)."""
@@ -548,31 +598,31 @@ def _bwd_kernel(ximg, a2s, a4s, gcut, *rest,
     g1 = g1 + _mask_image(inj1, r0, c0, H, W)
     g1 = _relu_mask(g1.astype(cdt), a1)
 
-    # conv1_1 transpose down to the image (normalization folded into w0t).
-    dxn = _conv3x3(g1, w0t[:], None, 3)  # f32 (E, E, 3)
+    # conv1_1 transpose down to the image (normalization folded into w0t),
+    # emitted directly as channel-first (3, E, E) planes: every elementwise
+    # op on a channels-last (E, E, 3) value would process 42x-padded vregs
+    # (3-lane minor), while plane ops pad only the trailing dims.
+    dxn = _conv3x3_planes(g1, w0t[:], 3)  # f32 (3, E, E)
 
     # Adjoint of the replicate ring (columns first — the forward built rows
-    # first, then columns).
-    ci = lax.broadcasted_iota(jnp.int32, dxn.shape, 1)
-    dxn = dxn + jnp.where((ci == halo) & (j == 0), _shift_cols(dxn, 1),
+    # first, then columns). Plane axes: rows = 1, columns = 2.
+    ci = lax.broadcasted_iota(jnp.int32, dxn.shape, 2)
+    dxn = dxn + jnp.where((ci == halo) & (j == 0), _shift_ax(dxn, 1, 2),
                           jnp.zeros_like(dxn))
     rgt = W - j * T + halo
-    dxn = dxn + jnp.where(ci == rgt - 1, _shift_cols(dxn, -1),
+    dxn = dxn + jnp.where(ci == rgt - 1, _shift_ax(dxn, -1, 2),
                           jnp.zeros_like(dxn))
-    ri = lax.broadcasted_iota(jnp.int32, dxn.shape, 0)
-    dxn = dxn + jnp.where((ri == halo) & (i == 0), _shift_rows(dxn, 1),
+    ri = lax.broadcasted_iota(jnp.int32, dxn.shape, 1)
+    dxn = dxn + jnp.where((ri == halo) & (i == 0), _shift_ax(dxn, 1, 1),
                           jnp.zeros_like(dxn))
     bot = H - i * T + halo
-    dxn = dxn + jnp.where(ri == bot - 1, _shift_rows(dxn, -1),
+    dxn = dxn + jnp.where(ri == bot - 1, _shift_ax(dxn, -1, 1),
                           jnp.zeros_like(dxn))
 
-    own = _f32(dxn[halo:halo + T, halo:halo + T])
-    # Channel-first store (see _bwd_call): stacking width-1 lane selects on
-    # a new OUTER axis is a legal Mosaic relayout; a (T, T, 3) store into a
-    # channels-last block would force the 42x-padded layout. Blocks span
-    # two column-tiles (the lane dim must be 128-divisible), so each grid
-    # step fills its half under a parity predicate.
-    planes = jnp.stack([own[..., 0], own[..., 1], own[..., 2]], 0)
+    # Owned crop; blocks span two column-tiles (the lane dim must be
+    # 128-divisible), so each grid step fills its half under a parity
+    # predicate (see _bwd_call).
+    planes = dxn[:, halo:halo + T, halo:halo + T]
 
     @pl.when(j % 2 == 0)
     def _():
