@@ -333,25 +333,32 @@ def _relu_mask(g, act):
     return jnp.where(_f32(act) > 0.0, g, jnp.zeros_like(g))
 
 
-def _mask_image(v, r0, c0, hlim, wlim, step=1):
-    """Zero positions whose global (row, col) = (r0 + step*i, c0 + step*j)
-    lies outside [0, hlim) x [0, wlim) — emulates zero (SAME) padding at
-    true image edges and blanks the out-of-image part of boundary tiles.
-    ``step=2`` masks a quad stream (pass the stream's own phase-adjusted
-    r0/c0)."""
-    a, b = v.shape[:2]
-    gr = lax.broadcasted_iota(jnp.int32, (a, b, 1), 0) * step + r0
-    gc = lax.broadcasted_iota(jnp.int32, (a, b, 1), 1) * step + c0
-    keep = (gr >= 0) & (gr < hlim) & (gc >= 0) & (gc < wlim)
-    return jnp.where(keep, v, jnp.zeros_like(v))
+class _TileMasks:
+    """Per-tile, per-resolution keep masks, built ONCE and reused.
 
+    Every individual mask site used to rebuild two (a, b, 1) iotas plus four
+    compares — each processing 128x-lane-padded vregs — and the forward has
+    five such sites per tile (the backward four more plus the moment
+    ownership masks). Hoisting the iotas and predicates to one construction
+    per resolution removes the dominant share of the kernel's vector work.
+    """
 
-def _owned_mask(v, halo, tile):
-    a, b = v.shape[:2]
-    ri = lax.broadcasted_iota(jnp.int32, (a, b, 1), 0)
-    ci = lax.broadcasted_iota(jnp.int32, (a, b, 1), 1)
-    keep = (ri >= halo) & (ri < halo + tile) & (ci >= halo) & (ci < halo + tile)
-    return jnp.where(keep, v, jnp.zeros_like(v))
+    def __init__(self, a, r0, c0, hlim, wlim, halo, tile):
+        ri = lax.broadcasted_iota(jnp.int32, (a, a, 1), 0)
+        ci = lax.broadcasted_iota(jnp.int32, (a, a, 1), 1)
+        gr = ri + r0
+        gc = ci + c0
+        self.img = (gr >= 0) & (gr < hlim) & (gc >= 0) & (gc < wlim)
+        self.owned = ((ri >= halo) & (ri < halo + tile)
+                      & (ci >= halo) & (ci < halo + tile))
+
+    def mask_image(self, v):
+        """Zero out-of-image positions — emulates zero (SAME) padding at
+        true image edges and blanks the out-of-image part of edge tiles."""
+        return jnp.where(self.img, v, jnp.zeros_like(v))
+
+    def mask_owned(self, v):
+        return jnp.where(self.owned, v, jnp.zeros_like(v))
 
 
 def _replicate_ring(x, i, j, halo, H, W, T):
@@ -438,34 +445,42 @@ def _conv1_1(x, w0, b0):
     return p.reshape(e, e, -1) + b0[0]
 
 
-def _forward_l0(x, refs, i, j, halo, H, W, T, cdt):
-    """Image slab -> (a1, a2): the full-resolution block."""
+def _tile_masks(i, j, halo, H, W, T):
+    """(full-res, half-res) _TileMasks for tile (i, j)."""
+    e = T + 2 * halo
     r0 = i * T - halo
     c0 = j * T - halo
+    mf = _TileMasks(e, r0, c0, H, W, halo, T)
+    mh = _TileMasks(e // 2, r0 // 2, c0 // 2, H // 2, W // 2,
+                    halo // 2, T // 2)
+    return mf, mh
+
+
+def _forward_l0(x, refs, i, j, mf, halo, H, W, T, cdt):
+    """Image slab -> (a1, a2): the full-resolution block."""
     x = _replicate_ring(x, i, j, halo, H, W, T)
     a1 = jnp.maximum(_conv1_1(x, refs["w0"][:], refs["b0"][:]), 0.0)
-    a1 = _mask_image(a1.astype(cdt), r0, c0, H, W)
+    a1 = mf.mask_image(a1.astype(cdt))
     a2 = jnp.maximum(_conv3x3(a1, refs["w1"][:], refs["b1"][:], 64), 0.0)
-    a2 = _mask_image(a2.astype(cdt), r0, c0, H, W)
+    a2 = mf.mask_image(a2.astype(cdt))
     return a1, a2
 
 
-def _forward_tile(x, refs, i, j, halo, H, W, T, cdt, store_idx=False):
+def _forward_tile(x, refs, i, j, mf, mh, halo, H, W, T, cdt,
+                  store_idx=False):
     """Shared fwd recompute: image slab -> (a1, a2, p1, a3, a4, p2[, idxs]).
     All activations are post-relu, edge-masked, in compute dtype. With
     ``store_idx``, also returns the two pools' first-max quadrant indices."""
-    r0 = i * T - halo
-    c0 = j * T - halo
-    a1, a2 = _forward_l0(x, refs, i, j, halo, H, W, T, cdt)
+    a1, a2 = _forward_l0(x, refs, i, j, mf, halo, H, W, T, cdt)
     if store_idx:
         p1, idx1 = _pool2x2_idx(a2, cdt)
     else:
         p1 = _pool2x2(a2)
-    p1 = _mask_image(p1, r0 // 2, c0 // 2, H // 2, W // 2)
+    p1 = mh.mask_image(p1)
     a3 = jnp.maximum(_conv3x3(p1, refs["w2"][:], refs["b2"][:], 128), 0.0)
-    a3 = _mask_image(a3.astype(cdt), r0 // 2, c0 // 2, H // 2, W // 2)
+    a3 = mh.mask_image(a3.astype(cdt))
     a4 = jnp.maximum(_conv3x3(a3, refs["w3"][:], refs["b3"][:], 128), 0.0)
-    a4 = _mask_image(a4.astype(cdt), r0 // 2, c0 // 2, H // 2, W // 2)
+    a4 = mh.mask_image(a4.astype(cdt))
     if store_idx:
         p2, idx2 = _pool2x2_idx(a4, cdt)
         return a1, a2, p1, a3, a4, p2, idx1, idx2
@@ -489,7 +504,8 @@ def _fwd_kernel(ximg, w0, b0, w1, b1, w2, b2, w3, b3,
     x = ximg[0, 0]
     refs = {"w0": w0, "b0": b0, "w1": w1, "b1": b1, "w2": w2, "b2": b2,
             "w3": w3, "b3": b3}
-    out = _forward_tile(x, refs, i, j, halo, H, W, T, cdt,
+    mf, mh = _tile_masks(i, j, halo, H, W, T)
+    out = _forward_tile(x, refs, i, j, mf, mh, halo, H, W, T, cdt,
                         store_idx=bool(idx_refs))
     a1, a2, _, a3, a4, p2 = out[:6]
 
@@ -510,8 +526,8 @@ def _fwd_kernel(ximg, w0, b0, w1, b1, w2, b2, w3, b3,
     # Moment statistics over the OWNED, in-image part of the taps. Masking
     # (not slicing) keeps the buffers tile-aligned; out-of-image positions
     # are already zero.
-    v1 = _owned_mask(a1, halo, T).reshape(e * e, -1)
-    v3 = _owned_mask(a3, halo // 2, T // 2).reshape((e // 2) * (e // 2), -1)
+    v1 = mf.mask_owned(a1).reshape(e * e, -1)
+    v3 = mh.mask_owned(a3).reshape((e // 2) * (e // 2), -1)
     s1 = jnp.sum(_f32(v1), axis=0, keepdims=True)
     s6 = jnp.sum(_f32(v3), axis=0, keepdims=True)
     m1 = lax.dot_general(v1, v1, (((0,), (0,)), ((), ())),
@@ -553,18 +569,17 @@ def _bwd_kernel(ximg, a2s, a4s, gcut, *rest,
     a2 = a2s[0, 0]
     a4 = a4s[0, 0]
     g_p2 = gcut[0, 0]
-    r0 = i * T - halo
-    c0 = j * T - halo
+    mf, mh = _tile_masks(i, j, halo, H, W, T)
 
     # Recompute only the cheap activations; a2/a4 (the conv1_2 / conv2_2
     # outputs) are exact stored values, so their slabs carry no edge-ring
     # garbage and the backward halo shrinks to the forward's.
     x = _replicate_ring(x, i, j, halo, H, W, T)
     a1 = jnp.maximum(_conv1_1(x, w0[:], b0[:]), 0.0)
-    a1 = _mask_image(a1.astype(cdt), r0, c0, H, W)
+    a1 = mf.mask_image(a1.astype(cdt))
     p1 = _pool2x2(a2)
     a3 = jnp.maximum(_conv3x3(p1, w2[:], b2[:], 128), 0.0)
-    a3 = _mask_image(a3.astype(cdt), r0 // 2, c0 // 2, H // 2, W // 2)
+    a3 = mh.mask_image(a3.astype(cdt))
 
     # pool2 backward: route the cut cotangent to the first-max of each 2x2.
     if POOL_BWD == "stored":
@@ -580,7 +595,7 @@ def _bwd_kernel(ximg, a2s, a4s, gcut, *rest,
         a3.reshape(-1, a3.shape[-1]), gm6[:],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ).reshape(a3.shape)
-    g3 = g3 + _mask_image(inj6, r0 // 2, c0 // 2, H // 2, W // 2)
+    g3 = g3 + mh.mask_image(inj6)
     g3 = _relu_mask(g3.astype(cdt), a3)
 
     # conv2_1 transpose -> pool1 backward -> conv1_2 transpose.
@@ -595,7 +610,7 @@ def _bwd_kernel(ximg, a2s, a4s, gcut, *rest,
         a1.reshape(-1, a1.shape[-1]), gm1[:],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ).reshape(a1.shape)
-    g1 = g1 + _mask_image(inj1, r0, c0, H, W)
+    g1 = g1 + mf.mask_image(inj1)
     g1 = _relu_mask(g1.astype(cdt), a1)
 
     # conv1_1 transpose down to the image (normalization folded into w0t),
