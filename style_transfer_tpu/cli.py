@@ -138,8 +138,11 @@ def build_parser(stylize_fn):
     p.add_argument("--style-weights", "-sw", type=float, nargs="+", default=None,
                    metavar="STYLE_WEIGHT",
                    help="the relative weights for each style image")
-    p.add_argument("--devices", type=str, default="1",
-                   help="number of TPU chips to shard over ('all' or an int)")
+    p.add_argument("--devices", type=str, nargs="+", default=["1"],
+                   metavar="DEVICE",
+                   help="devices to shard over: a chip count, 'all', or "
+                        "explicit device names (e.g. tpu:0 tpu:1 — the "
+                        "analog of the reference's cuda:0 cuda:1)")
     p.add_argument("--random-seed", "-r", type=int, default=0, help="the random seed")
     p.add_argument("--content-weight", "-cw", **arg_info("content_weight"),
                    help="the content weight")
@@ -230,6 +233,9 @@ def build_parser(stylize_fn):
                    help="capture a jax.profiler trace of the run into DIR")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="path to write full optimization-state checkpoints")
+    p.add_argument("--checkpoint-every", **arg_info("checkpoint_every"),
+                   help="iterations between checkpoint writes (scale ends "
+                        "always checkpoint; writes are asynchronous)")
     p.add_argument("--resume", default=False, action="store_true",
                    help="resume from --checkpoint if it exists")
     return p
@@ -259,14 +265,26 @@ def main(argv=None):
     import jax
 
     all_devices = jax.devices()
-    if args.devices == "all":
-        n_devices = len(all_devices)
-    else:
-        n_devices = int(args.devices)
+    spec = args.devices
+    if len(spec) == 1 and (spec[0] == "all" or spec[0].isdigit()):
+        # Count form: '--devices N' / '--devices all'.
+        n_devices = len(all_devices) if spec[0] == "all" else int(spec[0])
         if not 1 <= n_devices <= len(all_devices):
             print(f"Requested {n_devices} devices but {len(all_devices)} available.")
             sys.exit(1)
-    devices = all_devices[:n_devices]
+        devices = all_devices[:n_devices]
+    else:
+        # Explicit name form (ref cli.py:161-162, 214-222): 'tpu:0 tpu:1'.
+        from .engine import _resolve_device
+
+        try:
+            devices = [_resolve_device(name) for name in spec]
+        except (RuntimeError, IndexError, ValueError) as err:
+            print_error(err)
+            sys.exit(1)
+        if len({d.platform for d in devices}) > 1:
+            print("Devices must all be the same type.")
+            sys.exit(1)
     print("Using devices:", " ".join(str(d) for d in devices))
     print_hardware_banner(devices)
 

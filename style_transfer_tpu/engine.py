@@ -42,7 +42,7 @@ from .step import (
     make_lbfgs_runner,
     make_lbfgs_zoom_runner,
 )
-from .utils.checkpoint import load_checkpoint, save_checkpoint
+from .utils.checkpoint import AsyncCheckpointWriter, load_checkpoint
 from .utils.ema import EMAState, ema_get, ema_init
 from .utils.jaxcache import enable_persistent_cache
 from .utils.scales import align_size, gen_scales, size_to_fit
@@ -699,6 +699,7 @@ class StyleTransfer:
         align: int = 1,
         callback=None,
         checkpoint: str = None,
+        checkpoint_every: int = 500,
         resume: bool = False,
     ):
         min_scale = min(min_scale, end_scale)
@@ -721,6 +722,16 @@ class StyleTransfer:
                 "Warning: --checkpoint supports only the Adam optimizer; "
                 "no checkpoints will be written for this run."
             )
+        # Checkpoint .npz writes run on a background thread (the host-array
+        # snapshot stays synchronous: the step donates its state, so device
+        # buffers must be fetched before the next chunk launches). Cadence:
+        # every ``checkpoint_every`` iterations, plus every scale end.
+        ckpt_writer = (
+            AsyncCheckpointWriter()
+            if checkpoint is not None and optimizer == "adam"
+            else None
+        )
+        iters_since_ckpt = 0
 
         resume_state = None
         start_scale_idx = 0
@@ -775,154 +786,181 @@ class StyleTransfer:
             )
         self.image = shard_image(self.image, self.mesh)
 
-        opt_state = None
-        for scale_idx, scale in enumerate(scales):
-            if scale_idx < start_scale_idx:
-                continue
-            resuming_here = resume_state is not None and scale_idx == start_scale_idx
-            cw, ch = align_size(
-                size_to_fit(content_image.size, scale, scale_up=True), align
-            )
-            content = jnp.asarray(_pil_to_nhwc(content_image, (cw, ch)))
-
-            if resuming_here:
-                self.average = EMAState(
-                    value=jnp.asarray(resume_state["ema_value"]),
-                    accum=jnp.asarray(resume_state["ema_accum"]),
+        try:
+            opt_state = None
+            for scale_idx, scale in enumerate(scales):
+                if scale_idx < start_scale_idx:
+                    continue
+                resuming_here = resume_state is not None and scale_idx == start_scale_idx
+                cw, ch = align_size(
+                    size_to_fit(content_image.size, scale, scale_up=True), align
                 )
-            else:
-                self.image = jnp.clip(_resize_image(self.image, (ch, cw)), 0.0, 1.0)
-                self.image = shard_image(self.image, self.mesh)
-                self.average = ema_init(self.image, avg_decay)
+                content = jnp.asarray(_pil_to_nhwc(content_image, (cw, ch)))
 
-            cfg = StepConfig(
-                content_layers=tuple(self.content_layers),
-                style_layers=tuple(self.style_layers),
-                content_weights=tuple(content_weights),
-                style_layer_weights=tuple(self.style_layer_weights),
-                tv_weight=tv_weight,
-                style_loss=self.style_loss,
-                content_loss=self.content_loss,
-                sqrtm_impl=self.sqrtm_impl,
-                pooling=self.pooling,
-                compute_dtype=self.compute_dtype,
-                step_size=step_size,
-                avg_decay=avg_decay,
-                **self._size_knobs(ch, cw),
-            )
-
-            actual_its = initial_iterations if scale == scales[0] else iterations
-
-            # Overlap ALL scales' trace/compile/program-loads with target
-            # capture and iteration (adam only; see _AOTPrefetcher). Submitted
-            # BEFORE target capture so even the first scale's own chunk
-            # programs load while the session pays its one-time startup
-            # (weight transfer + first compiles dominate the cold path).
-            # Submission is idempotent, nearest scale first.
-            if optimizer == "adam":
-                self._prefetch_scale(cfg, ch, cw, actual_its)
-                for nxt in range(scale_idx + 1, len(scales)):
-                    cw2, ch2 = align_size(
-                        size_to_fit(content_image.size, scales[nxt],
-                                    scale_up=True),
-                        align,
-                    )
-                    self._prefetch_scale(
-                        dataclasses.replace(cfg, **self._size_knobs(ch2, cw2)),
-                        ch2, cw2, iterations,
-                    )
-
-            print(f"Processing content image ({cw}x{ch})...")
-            with _phase_timer(f"targets@{scale}"):
-                consts = self._capture_targets(
-                content, style_images, style_weights, scale,
-                    style_scale_fac, style_size, cfg,
-                )
-            self._last_cfg, self._last_consts = cfg, consts
-
-            if optimizer == "adam":
-                runner = self._get_runner(cfg, "adam")
                 if resuming_here:
-                    opt_state = AdamState(
-                        mu=jnp.asarray(resume_state["adam_mu"]),
-                        nu=jnp.asarray(resume_state["adam_nu"]),
-                        count=jnp.asarray(resume_state["adam_count"]),
+                    self.average = EMAState(
+                        value=jnp.asarray(resume_state["ema_value"]),
+                        accum=jnp.asarray(resume_state["ema_accum"]),
                     )
-                elif opt_state is None:
-                    opt_state = adam_init(self.image)
                 else:
-                    opt_state = _scale_adam(opt_state, (ch, cw), self.mesh)
-                state = LoopState(image=self.image, opt=opt_state, ema=self.average)
-            elif optimizer in ("lbfgs", "lbfgs-zoom"):
-                runner, opt_init = self._get_runner(cfg, optimizer)
-                state = LoopState(
-                    image=self.image,
-                    opt=opt_init(self.image, self.params, consts),
-                    ema=self.average,
-                )
-            else:
-                raise ValueError(
-                    "optimizer must be one of 'adam', 'lbfgs', 'lbfgs-zoom'"
+                    self.image = jnp.clip(_resize_image(self.image, (ch, cw)), 0.0, 1.0)
+                    self.image = shard_image(self.image, self.mesh)
+                    self.average = ema_init(self.image, avg_decay)
+
+                cfg = StepConfig(
+                    content_layers=tuple(self.content_layers),
+                    style_layers=tuple(self.style_layers),
+                    content_weights=tuple(content_weights),
+                    style_layer_weights=tuple(self.style_layer_weights),
+                    tv_weight=tv_weight,
+                    style_loss=self.style_loss,
+                    content_loss=self.content_loss,
+                    sqrtm_impl=self.sqrtm_impl,
+                    pooling=self.pooling,
+                    compute_dtype=self.compute_dtype,
+                    step_size=step_size,
+                    avg_decay=avg_decay,
+                    **self._size_knobs(ch, cw),
                 )
 
-            done = min(resume_state["done_iters"], actual_its) if resuming_here else 0
+                actual_its = initial_iterations if scale == scales[0] else iterations
 
-            t_prev = time.time()
-            first_chunk = True
-            scale_chunk = self._chunk_for(ch, cw, actual_its)
-            while done < actual_its:
-                n = min(scale_chunk, actual_its - done)
-                aot = None
+                # Overlap ALL scales' trace/compile/program-loads with target
+                # capture and iteration (adam only; see _AOTPrefetcher). Submitted
+                # BEFORE target capture so even the first scale's own chunk
+                # programs load while the session pays its one-time startup
+                # (weight transfer + first compiles dominate the cold path).
+                # Submission is idempotent, nearest scale first.
                 if optimizer == "adam":
-                    aot = self._prefetcher.get((cfg, ch, cw, n))
-                with _phase_timer(
-                    f"{'chunk1' if first_chunk else 'chunk'}@{scale}x{n}"
-                ):
-                    if aot is not None:
-                        state, losses = aot(self.params, consts, state)
-                    else:
-                        state, losses = runner(self.params, consts, state, n)
-                    losses = np.asarray(jax.device_get(losses), np.float64)
-                first_chunk = False
-                # Publish state so callbacks (saves, web preview) see progress.
-                self.image, self.average = state.image, state.ema
-                t_now = time.time()
-                # Persist BEFORE callbacks so an interrupt raised by a
-                # callback still leaves a resumable checkpoint.
-                if checkpoint is not None and optimizer == "adam":
-                    save_checkpoint(
-                        checkpoint,
-                        image=jax.device_get(state.image),
-                        adam=jax.device_get(state.opt),
-                        ema=jax.device_get(state.ema),
-                        scale_index=scale_idx,
-                        done_iters=done + n,
-                        meta={"w": cw, "h": ch, "scale": scale},
-                        optimizer=optimizer,
-                        rng=self._rng,
-                    )
-                if callback is not None:
-                    ram = peak_device_ram(self.devices)
-                    for k in range(n):
-                        callback(
-                            STIterate(
-                                w=cw, h=ch, i=done + k + 1, i_max=actual_its,
-                                loss=float(losses[k]),
-                                time=t_prev + (t_now - t_prev) * (k + 1) / n,
-                                gpu_ram=ram,
-                            )
+                    self._prefetch_scale(cfg, ch, cw, actual_its)
+                    for nxt in range(scale_idx + 1, len(scales)):
+                        cw2, ch2 = align_size(
+                            size_to_fit(content_image.size, scales[nxt],
+                                        scale_up=True),
+                            align,
                         )
-                done += n
-                t_prev = t_now
+                        self._prefetch_scale(
+                            dataclasses.replace(cfg, **self._size_knobs(ch2, cw2)),
+                            ch2, cw2, iterations,
+                        )
 
-            if optimizer == "adam":
-                opt_state = state.opt
-            # Each new scale starts from the previous scale's averaged iterate
-            # (ref :495-497).
-            self.image = jnp.clip(ema_get(state.ema), 0.0, 1.0)
-            self.average = state.ema
+                print(f"Processing content image ({cw}x{ch})...")
+                with _phase_timer(f"targets@{scale}"):
+                    consts = self._capture_targets(
+                    content, style_images, style_weights, scale,
+                        style_scale_fac, style_size, cfg,
+                    )
+                self._last_cfg, self._last_consts = cfg, consts
 
+                if optimizer == "adam":
+                    runner = self._get_runner(cfg, "adam")
+                    if resuming_here:
+                        opt_state = AdamState(
+                            mu=jnp.asarray(resume_state["adam_mu"]),
+                            nu=jnp.asarray(resume_state["adam_nu"]),
+                            count=jnp.asarray(resume_state["adam_count"]),
+                        )
+                    elif opt_state is None:
+                        opt_state = adam_init(self.image)
+                    else:
+                        opt_state = _scale_adam(opt_state, (ch, cw), self.mesh)
+                    state = LoopState(image=self.image, opt=opt_state, ema=self.average)
+                elif optimizer in ("lbfgs", "lbfgs-zoom"):
+                    runner, opt_init = self._get_runner(cfg, optimizer)
+                    state = LoopState(
+                        image=self.image,
+                        opt=opt_init(self.image, self.params, consts),
+                        ema=self.average,
+                    )
+                else:
+                    raise ValueError(
+                        "optimizer must be one of 'adam', 'lbfgs', 'lbfgs-zoom'"
+                    )
+
+                done = min(resume_state["done_iters"], actual_its) if resuming_here else 0
+
+                t_prev = time.time()
+                first_chunk = True
+                scale_chunk = self._chunk_for(ch, cw, actual_its)
+                while done < actual_its:
+                    n = min(scale_chunk, actual_its - done)
+                    aot = None
+                    if optimizer == "adam":
+                        aot = self._prefetcher.get((cfg, ch, cw, n))
+                    with _phase_timer(
+                        f"{'chunk1' if first_chunk else 'chunk'}@{scale}x{n}"
+                    ):
+                        if aot is not None:
+                            state, losses = aot(self.params, consts, state)
+                        else:
+                            state, losses = runner(self.params, consts, state, n)
+                        losses = np.asarray(jax.device_get(losses), np.float64)
+                    first_chunk = False
+                    # Publish state so callbacks (saves, web preview) see progress.
+                    self.image, self.average = state.image, state.ema
+                    t_now = time.time()
+                    # Snapshot BEFORE callbacks so an interrupt raised by a
+                    # callback still leaves a resumable checkpoint (the
+                    # finally below flushes the in-flight write). The
+                    # device_get is synchronous — the next chunk donates
+                    # these buffers — but the .npz write runs on the
+                    # writer thread, off the iteration loop.
+                    if ckpt_writer is not None:
+                        iters_since_ckpt += n
+                        if (iters_since_ckpt >= checkpoint_every
+                                or done + n >= actual_its):
+                            if ckpt_writer.error is not None:
+                                print("Warning: checkpoint write failed: "
+                                      f"{ckpt_writer.error}")
+                                ckpt_writer.error = None
+                            ckpt_writer.submit(
+                                checkpoint,
+                                image=jax.device_get(state.image),
+                                adam=jax.device_get(state.opt),
+                                ema=jax.device_get(state.ema),
+                                scale_index=scale_idx,
+                                done_iters=done + n,
+                                meta={"w": cw, "h": ch, "scale": scale},
+                                optimizer=optimizer,
+                                rng=_snapshot_rng(self._rng),
+                            )
+                            iters_since_ckpt = 0
+                    if callback is not None:
+                        ram = peak_device_ram(self.devices)
+                        for k in range(n):
+                            callback(
+                                STIterate(
+                                    w=cw, h=ch, i=done + k + 1, i_max=actual_its,
+                                    loss=float(losses[k]),
+                                    time=t_prev + (t_now - t_prev) * (k + 1) / n,
+                                    gpu_ram=ram,
+                                )
+                            )
+                    done += n
+                    t_prev = t_now
+
+                if optimizer == "adam":
+                    opt_state = state.opt
+                # Each new scale starts from the previous scale's averaged iterate
+                # (ref :495-497).
+                self.image = jnp.clip(ema_get(state.ema), 0.0, 1.0)
+                self.average = state.ema
+
+        finally:
+            if ckpt_writer is not None:
+                try:
+                    ckpt_writer.close()
+                except Exception as err:
+                    print(f"Warning: checkpoint write failed: {err}")
         return self.get_image()
+
+
+def _snapshot_rng(rng):
+    """Point-in-time copy of a RandomState (safe to hand to the async
+    checkpoint writer while the live one keeps advancing)."""
+    snap = np.random.RandomState()
+    snap.set_state(rng.get_state())
+    return snap
 
 
 def _trunc_normal(rng, shape, mean, std, lo=0.0, hi=1.0):

@@ -10,11 +10,18 @@ deterministically from the inputs).
 """
 
 import json
+import threading
 from pathlib import Path
 
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint", "pack_rng_state", "unpack_rng_state"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "pack_rng_state",
+    "unpack_rng_state",
+    "AsyncCheckpointWriter",
+]
 
 _FORMAT_VERSION = 2
 
@@ -65,6 +72,74 @@ def save_checkpoint(path, *, image, adam, ema, scale_index, done_iters,
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
     tmp.replace(path)
+
+
+class AsyncCheckpointWriter:
+    """Background-thread checkpoint writer with a single-slot queue.
+
+    The serialize-and-write of a print-size checkpoint (hundreds of MB of
+    .npz) is pure host I/O; running it on a worker thread keeps it out of
+    the iteration loop. Only the *newest* submitted state is kept — if a
+    write is still in flight when the next one arrives, the pending slot is
+    replaced (a checkpoint is a recovery point, not a log). The caller must
+    pass host arrays (np.ndarray), NOT device buffers: the engine's step
+    donates its state, so a device buffer could be invalidated while the
+    writer still holds it.
+
+    ``flush()`` blocks until the slot is empty and no write is in flight —
+    call it before process exit (and on interrupt) so the last submitted
+    state is durable.
+    """
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._pending = None  # (args, kwargs) | None
+        self._busy = False
+        self._closed = False
+        self.error = None  # last write failure, surfaced on flush
+        self._thread = threading.Thread(
+            target=self._run, name="stt-checkpoint", daemon=True
+        )
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            with self._cond:
+                while self._pending is None and not self._closed:
+                    self._cond.wait()
+                if self._pending is None and self._closed:
+                    return
+                args, kwargs = self._pending
+                self._pending = None
+                self._busy = True
+            try:
+                save_checkpoint(*args, **kwargs)
+            except Exception as err:  # surfaced on flush; keep the loop alive
+                self.error = err
+            with self._cond:
+                self._busy = False
+                self._cond.notify_all()
+
+    def submit(self, path, **state):
+        with self._cond:
+            self._pending = ((path,), state)
+            self._cond.notify_all()
+
+    def flush(self):
+        """Wait for the queue to drain; raise if the last write failed."""
+        with self._cond:
+            while self._pending is not None or self._busy:
+                self._cond.wait()
+        if self.error is not None:
+            err, self.error = self.error, None
+            raise err
+
+    def close(self):
+        self.flush()
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._thread.join(timeout=5)
 
 
 def load_checkpoint(path):

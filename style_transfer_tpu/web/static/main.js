@@ -57,6 +57,12 @@ function fmtBytes(n) {
 
 function onIterate(msg) {
   rate.update(msg.time);
+  // Display at CSS size w/dpr so the preview is crisp on hi-DPI screens
+  // without growing past its natural size (DPR capped at 2, as the
+  // reference client does — /root/reference/.../main.js:81-85).
+  const dpr = Math.min(window.devicePixelRatio || 1, 2);
+  els.preview.style.width = `${msg.w / dpr}px`;
+  els.preview.style.height = `${msg.h / dpr}px`;
   els.size.innerHTML = `size <b>${msg.w}&times;${msg.h}</b>`;
   els.iter.innerHTML = `iteration <b>${msg.i}/${msg.i_max}</b>`;
   els.loss.innerHTML = `loss <b>${Number(msg.loss).toPrecision(6)}</b>`;

@@ -7,7 +7,11 @@ import pytest
 from style_transfer_tpu.engine import StyleTransfer
 from style_transfer_tpu.models.weights import random_params
 from style_transfer_tpu.step import AdamState
-from style_transfer_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from style_transfer_tpu.utils.checkpoint import (
+    AsyncCheckpointWriter,
+    load_checkpoint,
+    save_checkpoint,
+)
 from style_transfer_tpu.utils.ema import EMAState
 
 PARAMS = random_params(0)
@@ -34,12 +38,80 @@ def test_roundtrip(tmp_path):
     assert ck["meta"]["w"] == 8
 
 
+def _tiny_state(rng):
+    adam = AdamState(
+        mu=rng.rand(1, 4, 4, 3).astype(np.float32),
+        nu=rng.rand(1, 4, 4, 3).astype(np.float32),
+        count=np.asarray(1, np.int32),
+    )
+    ema = EMAState(value=rng.rand(1, 4, 4, 3).astype(np.float32),
+                   accum=np.asarray(0.5, np.float32))
+    return adam, ema
+
+
+def test_async_writer_latest_wins(tmp_path):
+    """Submits coalesce: after flush, the file holds the NEWEST state even
+    when several were queued faster than they could be written."""
+    rng = np.random.RandomState(1)
+    adam, ema = _tiny_state(rng)
+    p = tmp_path / "ck.npz"
+    w = AsyncCheckpointWriter()
+    try:
+        for it in range(1, 8):
+            w.submit(str(p), image=np.full((1, 4, 4, 3), it, np.float32),
+                     adam=adam, ema=ema, scale_index=0, done_iters=it * 10)
+        w.flush()
+        ck = load_checkpoint(p)
+        assert ck["done_iters"] % 10 == 0 and ck["done_iters"] <= 70
+        # Last submitted value is what flush guarantees durable.
+        w.submit(str(p), image=np.full((1, 4, 4, 3), 99, np.float32),
+                 adam=adam, ema=ema, scale_index=1, done_iters=99)
+        w.flush()
+        ck = load_checkpoint(p)
+        assert ck["done_iters"] == 99 and ck["scale_index"] == 1
+        np.testing.assert_array_equal(ck["image"], 99.0)
+    finally:
+        w.close()
+
+
+def test_async_writer_surfaces_errors(tmp_path):
+    rng = np.random.RandomState(2)
+    adam, ema = _tiny_state(rng)
+    w = AsyncCheckpointWriter()
+    w.submit(str(tmp_path / "nodir" / "\0bad"), image=np.zeros((1, 4, 4, 3)),
+             adam=adam, ema=ema, scale_index=0, done_iters=1)
+    with pytest.raises(Exception):
+        w.close()
+
+
+def test_checkpoint_cadence(tmp_path, content_pil, style_pil, monkeypatch):
+    """checkpoint_every gates mid-scale writes; scale ends always write."""
+    import style_transfer_tpu.utils.checkpoint as ckpt_mod
+
+    calls = []
+    real = ckpt_mod.save_checkpoint
+
+    def counting(path, **kw):
+        calls.append(kw["done_iters"])
+        real(path, **kw)
+
+    monkeypatch.setattr(ckpt_mod, "save_checkpoint", counting)
+    ck = tmp_path / "ck.npz"
+    st = StyleTransfer(devices=1, weights=PARAMS, callback_chunk=5)
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               iterations=20, initial_iterations=20,
+               checkpoint=str(ck), checkpoint_every=1000)
+    # 4 chunks of 5; only the scale end (done_iters == 20) qualifies.
+    assert calls == [20]
+
+
 @pytest.mark.slow
 def test_resume_matches_uninterrupted(tmp_path, content_pil, style_pil):
     """Run 20 iters straight vs 10 iters -> checkpoint -> resume 10 more:
     identical final image (state round-trips exactly; targets recompute
     deterministically)."""
-    kw = dict(min_scale=64, end_scale=64, iterations=20, initial_iterations=20)
+    kw = dict(min_scale=64, end_scale=64, iterations=20, initial_iterations=20,
+              checkpoint_every=10)
 
     st_a = StyleTransfer(devices=1, weights=PARAMS, callback_chunk=10)
     img_a = np.asarray(st_a.stylize(content_pil, [style_pil], **kw))
@@ -151,7 +223,7 @@ from style_transfer_tpu.engine import StyleTransfer
 from style_transfer_tpu.models.weights import random_params
 
 kw = dict(min_scale=64, end_scale=64, iterations=20, initial_iterations=20,
-          checkpoint={str(ck)!r})
+          checkpoint={str(ck)!r}, checkpoint_every=10)
 st = StyleTransfer(devices=1, weights=random_params(0), callback_chunk=10)
 content = Image.open({str(content_path)!r})
 style = Image.open({str(style_path)!r})

@@ -105,3 +105,22 @@ def test_invalid_device_count(content_files, tmp_path, capsys):
     content, style = content_files
     with pytest.raises(SystemExit):
         main([str(content), str(style), "--devices", "4096"])
+
+
+def test_devices_name_list(tmp_path, content_files):
+    """Explicit device-name form (ref cli.py:161-162: --devices cuda:0
+    cuda:1): name strings resolve through the engine's resolver; two names
+    build a 2-device mesh."""
+    content, style = content_files
+    out = tmp_path / "o.png"
+    main([str(content), str(style), "-o", str(out),
+          "--min-scale", "64", "--end-scale", "64", "-i", "2", "-ii", "2",
+          "--callback-chunk", "2", "--devices", "cpu:0", "cpu:1",
+          "--trace", str(tmp_path / "t.json")])
+    assert out.is_file()
+
+
+def test_devices_bad_name(content_files):
+    content, style = content_files
+    with pytest.raises(SystemExit):
+        main([str(content), str(style), "--devices", "notaplatform:0"])

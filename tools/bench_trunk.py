@@ -35,6 +35,15 @@ VARIANTS = json.loads(_env) if _env else {
 
 
 def main():
+    # Probe for a live device out-of-process first: an in-process
+    # jax.devices() can wedge at backend init for an hour on this
+    # machine's axon tunnel (CLAUDE.md quirk).
+    from __graft_entry__ import _probe_real_device_count
+
+    if _probe_real_device_count(timeout=120) < 1:
+        print("No real TPU device reachable (probe timed out); aborting.")
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
@@ -60,6 +69,7 @@ def main():
         return float(np.median(times)), out
 
     results = {}
+    saved = (trunk.POOL_BWD, trunk.CONV_IMPL)
     for name, kw in VARIANTS.items():
         trunk.POOL_BWD = kw.get("pool_bwd", "recompute")
         trunk.CONV_IMPL = kw.get("conv_impl", "concat")
@@ -82,21 +92,32 @@ def main():
             val, grad = jax.value_and_grad(loss)(img)
             return val, jnp.sum(jnp.abs(grad))  # reduce grad on device
 
+        # Separate try blocks: a Mosaic rejection that only affects the
+        # backward kernel must not discard the measured forward timing.
+        ms_f = None
         try:
             ms_f, _ = timed(jax.jit(fwd), image)
-            ms_fb, (val, gsum) = timed(jax.jit(fwd_bwd), image)
-        except Exception as e:  # Mosaic rejections per-variant, keep going
-            print(f"{name:28s} FAILED: {type(e).__name__}: {str(e)[:140]}",
+        except Exception as e:
+            print(f"{name:28s} fwd FAILED: {type(e).__name__}: {str(e)[:140]}",
                   flush=True)
+            continue
+        try:
+            ms_fb, (val, gsum) = timed(jax.jit(fwd_bwd), image)
+        except Exception as e:
+            print(f"{name:28s} fwd {ms_f:7.2f} ms   fwd+bwd FAILED: "
+                  f"{type(e).__name__}: {str(e)[:140]}", flush=True)
+            results[name] = (ms_f, None)
             continue
         results[name] = (ms_f, ms_fb)
         print(f"{name:28s} fwd {ms_f:7.2f} ms   fwd+bwd {ms_fb:7.2f} ms   "
               f"loss={float(val):.3e} |g|={float(gsum):.3e}", flush=True)
 
+    trunk.POOL_BWD, trunk.CONV_IMPL = saved
     base = next(iter(results.values()), None)
     if base:
         for name, (f, fb) in results.items():
-            print(f"{name:28s} fwd x{base[0]/f:5.2f}   fwd+bwd x{base[1]/fb:5.2f}")
+            fb_s = f"x{base[1]/fb:5.2f}" if fb and base[1] else "  n/a"
+            print(f"{name:28s} fwd x{base[0]/f:5.2f}   fwd+bwd {fb_s}")
 
 
 if __name__ == "__main__":
