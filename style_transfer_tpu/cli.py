@@ -63,10 +63,55 @@ def fix_start_method():
         mp.set_start_method("spawn", force=True)
 
 
+class _AsyncImageSaver:
+    """Background writer for mid-run image saves (single-slot, latest wins).
+
+    The PIL encode + disk write of a print-size PNG/TIFF costs seconds; the
+    device_get snapshot already happened on the caller's thread (the engine
+    donates its buffers to the next chunk), so only host I/O runs here.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._cond = threading.Condition()
+        self._pending = None
+        self._busy = False
+        threading.Thread(target=self._run, name="stt-save", daemon=True).start()
+
+    def _run(self):
+        while True:
+            with self._cond:
+                while self._pending is None:
+                    self._cond.wait()
+                path, image = self._pending
+                self._pending = None
+                self._busy = True
+            try:
+                save_image(path, image)
+            except (OSError, ValueError) as err:
+                print_error(err)
+            with self._cond:
+                self._busy = False
+                self._cond.notify_all()
+
+    def submit(self, path, image):
+        with self._cond:
+            self._pending = (path, image)
+            self._cond.notify_all()
+
+    def flush(self):
+        with self._cond:
+            while self._pending is not None or self._busy:
+                self._cond.wait()
+
+
 class Callback:
     """Per-iteration progress: tqdm line, periodic saves, web events, trace.
 
-    Behavior parity with reference cli.py:107-140.
+    Behavior parity with reference cli.py:107-140. Mid-run image saves are
+    asynchronous (latest-wins writer thread); the final save in ``main`` is
+    synchronous after a flush, so the output on disk is never stale.
     """
 
     def __init__(self, st, args, image_type="pil", web_interface=None):
@@ -76,6 +121,7 @@ class Callback:
         self.web_interface = web_interface
         self.recorder = TraceRecorder(args)
         self.progress = None
+        self.saver = _AsyncImageSaver()
 
     def _is_final_scale(self, iterate):
         # Compare against the precomputed aligned final canvas, not the raw
@@ -104,13 +150,16 @@ class Callback:
             self.progress.close()
             self.progress = None
             if not self._is_final_scale(iterate):
-                save_image(self.args.output, self.st.get_image(self.image_type))
+                self.saver.submit(self.args.output,
+                                  self.st.get_image(self.image_type))
             elif self.web_interface is not None:
                 self.web_interface.put_done()
         elif iterate.i % self.args.save_every == 0:
-            save_image(self.args.output, self.st.get_image(self.image_type))
+            self.saver.submit(self.args.output,
+                              self.st.get_image(self.image_type))
 
     def close(self):
+        self.saver.flush()
         if self.progress is not None:
             self.progress.close()
 
@@ -356,6 +405,9 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
 
+    # Drain any in-flight async save first so it cannot land after (and
+    # clobber) the final image written below.
+    callback.saver.flush()
     output_image = st.get_image(image_type)
     if output_image is not None:
         try:

@@ -32,6 +32,7 @@ from PIL import Image
 from .models import weights as W
 from .models.vgg import extract_features
 from .ops import losses as L
+from .ops.resize import resize2d
 from .parallel.mesh import make_mesh, shard_image
 from .step import (
     AdamState,
@@ -76,10 +77,12 @@ def _pil_to_nhwc(image: Image.Image, size=None) -> np.ndarray:
     return arr[None]
 
 
-def _resize_image(x, hw, method: str = "cubic"):
-    """Device-side resize of an NHWC image to (h, w)."""
-    n, _, _, c = x.shape
-    return jax.image.resize(x, (n, hw[0], hw[1], c), method=method)
+def _resize_image(x, hw, method: str = "bicubic"):
+    """Device-side resize of an NHWC image to (h, w), torch-interpolate
+    semantics (ops/resize.py): the reference's scale crossings go through
+    F.interpolate (ref :418, :285-295), and matching its kernel exactly is
+    what keeps pyramid trajectories parity-testable."""
+    return resize2d(x, hw, method)
 
 
 def _scale_adam(opt: AdamState, hw, mesh=None) -> AdamState:
@@ -87,8 +90,8 @@ def _scale_adam(opt: AdamState, hw, mesh=None) -> AdamState:
     first moment resized bicubic, second moment bilinear then clamped >= 0.
     Moments are re-sharded like the image so the step program's input
     shardings stay uniform across scales."""
-    mu = shard_image(_resize_image(opt.mu, hw, "cubic"), mesh)
-    nu = shard_image(jnp.maximum(_resize_image(opt.nu, hw, "linear"), 0.0), mesh)
+    mu = shard_image(_resize_image(opt.mu, hw, "bicubic"), mesh)
+    nu = shard_image(jnp.maximum(_resize_image(opt.nu, hw, "bilinear"), 0.0), mesh)
     return AdamState(mu=mu, nu=nu, count=opt.count)
 
 
@@ -446,37 +449,123 @@ class StyleTransfer:
         # ~14 Mpx comfortably; beyond that, rematerialize.
         return h * w > 14_000_000
 
-    def _features(self, image, layers):
-        """Target-capture forward pass (f32, jitted; cached per layer set)."""
-        key = ("feat", tuple(sorted(set(layers))))
-        if key not in self._fn_cache:
-            layers_t = key[1]
-            pooling = self.pooling
+    def _capture_knobs(self, h, w):
+        """Trunk knobs for the f32 target-capture forwards. Same layout
+        fixes as the step (im2col conv taps, per-pool impl, banding at
+        print sizes — VERDICT r2: the capture used to run the monolithic
+        trunk, the exact giant-tensor-tiling regime the step escaped);
+        dtype stays f32 for target fidelity."""
+        return (
+            self._n_bands(h, w),
+            self._im2col_layers(h, w),
+            self._maxpool_impl(h, w),
+        )
 
+    def _features(self, image, layers):
+        """Target-capture forward pass (f32, jitted; cached per layer set +
+        size knobs). At print sizes the early trunk runs per halo-slab band
+        (ops/banded.banded_forward_cut) and the deep trunk monolithically
+        from the reassembled pool2 cut."""
+        h, w = np.shape(image)[1:3]
+        layers_t = tuple(sorted(set(layers)))
+        knobs = self._capture_knobs(h, w)
+        from .ops.banded import DEFAULT_CUT
+
+        n_bands, im2col, pool_impl = knobs
+        banded = n_bands >= 2 and all(l > DEFAULT_CUT for l in layers_t)
+        key = ("feat", layers_t, knobs if banded else knobs[1:])
+        if key not in self._fn_cache:
+            pooling = self.pooling
             flat = self.mesh is None
 
-            def feat(params, img):
-                feats = extract_features(params, img, layers_t, pooling=pooling,
-                                         im2col_flatten=flat)
-                # int-keyed dict only: a mixed 'input'/int dict is not a
-                # sortable pytree at the jit boundary
-                return {l: feats[l] for l in layers_t}
+            if banded:
+                from .ops.banded import banded_forward_cut
+
+                def feat(params, img):
+                    def early_fn(slab):
+                        return extract_features(
+                            params, slab, (DEFAULT_CUT,), pooling=pooling,
+                            im2col_layers=im2col, pool_impl=pool_impl,
+                            im2col_flatten=flat)
+
+                    cut = banded_forward_cut(early_fn, img, n_bands=n_bands)
+                    feats = extract_features(
+                        params, cut, layers_t, pooling=pooling,
+                        start_layer=DEFAULT_CUT + 1, im2col_layers=im2col,
+                        pool_impl=pool_impl, im2col_flatten=flat)
+                    return {l: feats[l] for l in layers_t}
+            else:
+                def feat(params, img):
+                    feats = extract_features(
+                        params, img, layers_t, pooling=pooling,
+                        im2col_layers=im2col, pool_impl=pool_impl,
+                        im2col_flatten=flat)
+                    # int-keyed dict only: a mixed 'input'/int dict is not a
+                    # sortable pytree at the jit boundary
+                    return {l: feats[l] for l in layers_t}
 
             self._fn_cache[key] = jax.jit(feat)
         return self._fn_cache[key](self.params, jnp.asarray(image, jnp.float32))
 
     def _style_stats(self, style_image, mode: str):
-        """Jitted per-style-image statistics: {layer: (mean, srm)} or Grams."""
-        key = ("stats", mode)
+        """Jitted per-style-image statistics: {layer: (mean, srm)} or Grams.
+
+        At print-size style resolutions the statistics accumulate per band
+        (ops/banded.banded_stats — they are pixel sums, so banding is
+        exact), with the deep trunk monolithic from the pool2 cut."""
+        h, w = np.shape(style_image)[1:3]
+        knobs = self._capture_knobs(h, w)
+        n_bands, im2col, pool_impl = knobs
+        banded = n_bands >= 2
+        key = ("stats", mode, knobs if banded else knobs[1:])
         if key not in self._fn_cache:
             layers_t = tuple(self.style_layers)
             pooling = self.pooling
+            flat = self.mesh is None
 
             def stats(params, img):
-                feats = extract_features(params, img, layers_t, pooling=pooling)
+                if banded:
+                    from .ops.banded import DEFAULT_CUT, banded_stats
+
+                    def early_fn(slab):
+                        early_taps = tuple(sorted(
+                            {l for l in layers_t if l <= DEFAULT_CUT}
+                            | {DEFAULT_CUT}))
+                        return extract_features(
+                            params, slab, early_taps, pooling=pooling,
+                            im2col_layers=im2col, pool_impl=pool_impl,
+                            im2col_flatten=flat)
+
+                    def late_fn(cut):
+                        late_taps = tuple(
+                            l for l in layers_t if l > DEFAULT_CUT)
+                        return extract_features(
+                            params, cut, late_taps, pooling=pooling,
+                            start_layer=DEFAULT_CUT + 1,
+                            im2col_layers=im2col, pool_impl=pool_impl,
+                            im2col_flatten=flat)
+
+                    moments, _ = banded_stats(
+                        early_fn,
+                        late_fn if any(l > DEFAULT_CUT for l in layers_t)
+                        else None,
+                        img,
+                        style_layers=layers_t,
+                        content_layers=(),
+                        content_targets={},
+                        n_bands=n_bands,
+                    )
+                else:
+                    feats = extract_features(
+                        params, img, layers_t, pooling=pooling,
+                        im2col_layers=im2col, pool_impl=pool_impl,
+                        im2col_flatten=flat)
+                    moments = {l: L.w2_moments(feats[l]) for l in layers_t}
                 if mode == "w2":
-                    return {l: L.w2_moments(feats[l]) for l in layers_t}
-                return {l: (L.gram_matrix(feats[l]),) for l in layers_t}
+                    return moments
+                # The reference's per-pixel-normalized Gram equals the
+                # second raw moment (ref :137-139).
+                return {l: (moments[l][1],) for l in layers_t}
 
             self._fn_cache[key] = jax.jit(stats)
         return self._fn_cache[key](self.params, jnp.asarray(style_image, jnp.float32))

@@ -44,7 +44,7 @@ from ..models.weights import CONV_INDICES, POOL_INDICES
 
 __all__ = [
     "receptive_halo", "band_bounds", "pool_stride", "banded_stats",
-    "DEFAULT_CUT",
+    "banded_forward_cut", "DEFAULT_CUT",
 ]
 
 # Slab starts must align with the pooling grid of the deepest banded layer;
@@ -100,6 +100,45 @@ def _owned(h, s, e, p):
     ``h``-row image: start index within a slab beginning at ``s2`` is
     ``(s - s2) // p`` (exact — slab starts are grid-aligned)."""
     return (h // p) - (s // p) if e == h else (e - s) // p
+
+
+def banded_forward_cut(
+    early_fn,
+    image,
+    *,
+    n_bands: int,
+    cut_layer: int = DEFAULT_CUT,
+    halo: int = 0,
+    axis: int = 1,
+):
+    """Re-assembled ``cut_layer`` activation from per-band halo slabs.
+
+    Forward-only counterpart of :func:`banded_stats` for target capture
+    (engine ``_features``): the giant early block runs per slab — dodging
+    XLA's giant-tensor conv tiling — and only the 4x-smaller cut activation
+    is concatenated; the caller runs the deep trunk monolithically from it.
+    Identical to the monolithic activation up to float reassociation (same
+    halo/crop argument as banded_stats; asserted in tests/test_banded.py).
+    """
+    if axis not in (1, 2):
+        raise ValueError("axis must be 1 (rows) or 2 (columns)")
+    ext = image.shape[axis]
+    if halo <= 0:
+        halo = receptive_halo([cut_layer])
+    bounds = band_bounds(ext, n_bands)
+    p = pool_stride(cut_layer)
+    rows = []
+    for k in range(len(bounds) - 1):
+        s, e = bounds[k], bounds[k + 1]
+        s2 = max(0, s - halo)
+        e2 = min(ext, e + halo)
+        slab = image[:, s2:e2] if axis == 1 else image[:, :, s2:e2]
+        feats = early_fn(slab)
+        fs = (s - s2) // p
+        cnt = _owned(ext, s, e, p)
+        v = feats[cut_layer]
+        rows.append(v[:, fs:fs + cnt] if axis == 1 else v[:, :, fs:fs + cnt])
+    return jnp.concatenate(rows, axis=axis) if len(rows) > 1 else rows[0]
 
 
 def banded_stats(

@@ -220,3 +220,64 @@ def test_banded_columns_odd_width_match():
     lb, gb = jax.value_and_grad(build_loss_fn(banded))(image, params, consts)
     np.testing.assert_allclose(lb, lm, rtol=2e-5)
     np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
+
+
+def test_banded_forward_cut_matches_monolithic():
+    """banded_forward_cut (target-capture path, engine._features at print
+    sizes) reproduces the monolithic pool2 activation exactly."""
+    from style_transfer_tpu.ops.banded import banded_forward_cut
+
+    rng = np.random.RandomState(5)
+    params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
+    image = jnp.asarray(rng.rand(1, 160, 96, 3).astype(np.float32))
+
+    def early_fn(slab):
+        return extract_features(params, slab, (9,))
+
+    cut_b = banded_forward_cut(early_fn, image, n_bands=3)
+    cut_m = extract_features(params, image, (9,))[9]
+    assert cut_b.shape == cut_m.shape
+    np.testing.assert_allclose(np.asarray(cut_b), np.asarray(cut_m),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_engine_style_stats_banded_matches_monolithic(vgg_params):
+    """The engine's banded style-statistics capture equals the monolithic
+    one (forced via the private knob — CPU auto never bands)."""
+    from style_transfer_tpu.engine import StyleTransfer
+
+    rng = np.random.RandomState(6)
+    style = rng.rand(1, 160, 96, 3).astype(np.float32)
+
+    st = StyleTransfer(devices=1, weights=vgg_params)
+    mono = jax.device_get(st._style_stats(style, "w2"))
+
+    st2 = StyleTransfer(devices=1, weights=vgg_params)
+    st2._is_tpu = True  # let _n_bands honor the explicit band count
+    st2.n_bands = 3
+    assert st2._n_bands(160, 96) == 3
+    band = jax.device_get(st2._style_stats(style, "w2"))
+
+    for layer in mono:
+        for a, b in zip(mono[layer], band[layer]):
+            np.testing.assert_allclose(b, a, rtol=3e-5, atol=1e-6)
+
+
+def test_engine_features_banded_matches_monolithic(vgg_params):
+    """The engine's banded content-target capture equals the monolithic one."""
+    from style_transfer_tpu.engine import StyleTransfer
+
+    rng = np.random.RandomState(7)
+    content = rng.rand(1, 160, 96, 3).astype(np.float32)
+
+    st = StyleTransfer(devices=1, weights=vgg_params)
+    st._is_tpu = True  # same im2col/pool knobs as the banded run
+    st.n_bands = 0
+    mono = jax.device_get(st._features(content, [22]))
+
+    st2 = StyleTransfer(devices=1, weights=vgg_params)
+    st2._is_tpu = True
+    st2.n_bands = 3
+    band = jax.device_get(st2._features(content, [22]))
+
+    np.testing.assert_allclose(band[22], mono[22], rtol=3e-5, atol=1e-6)

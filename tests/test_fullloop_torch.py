@@ -191,6 +191,101 @@ def reference_stylize_torch(content_pil, style_pil, *, scale, iterations,
     return np.asarray(losses), final
 
 
+def torch_scale_adam(state, shape):
+    """The reference's Adam warm-start (ref :285-295): exp_avg bicubic,
+    exp_avg_sq bilinear + relu, step count preserved via the state dict."""
+    import copy
+
+    state = copy.deepcopy(state)
+    for group in state["state"].values():
+        group["exp_avg"] = torch.nn.functional.interpolate(
+            group["exp_avg"], shape, mode="bicubic")
+        group["exp_avg_sq"] = torch.nn.functional.interpolate(
+            group["exp_avg_sq"], shape, mode="bilinear").relu_()
+    return state
+
+
+def reference_stylize_torch_pyramid(content_pil, style_pil, *, scales,
+                                    iterations, initial_iterations,
+                                    content_weight=0.015, tv_weight=2.0,
+                                    step_size=0.02, avg_decay=0.99):
+    """The reference's full multi-scale loop (ref :408-497) in plain torch:
+    bicubic iterate upsample + clamp at each crossing, EMA restart, target
+    recapture, Adam warm-start via scale_adam."""
+    model = build_torch_vgg(PARAMS, max(STYLE_LAYERS + CONTENT_LAYERS))
+    mean_n = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std_n = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def normalize(x):
+        return (x - mean_n) / std_n
+
+    def to_nchw(pil, size):
+        return torch.from_numpy(
+            np.transpose(_pil_to_nhwc(pil, size), (0, 3, 1, 2)).copy()
+        )
+
+    image = None
+    opt = None
+    all_losses = []
+    for s_i, scale in enumerate(scales):
+        cw, ch = size_to_fit(content_pil.size, scale, scale_up=True)
+        content = to_nchw(content_pil, (cw, ch))
+        if image is None:
+            image = content.clone()
+        image = torch.nn.functional.interpolate(
+            image.detach(), (ch, cw), mode="bicubic").clamp(0, 1)
+        average = TorchEMA(image, avg_decay)
+        image.requires_grad_()
+
+        with torch.no_grad():
+            content_feats = torch_features(model, normalize, content,
+                                           CONTENT_LAYERS)
+            content_targets = {l: content_feats[l].clone()
+                               for l in CONTENT_LAYERS}
+            sw, sh = size_to_fit(style_pil.size, scale)
+            style = to_nchw(style_pil, (sw, sh))
+            style_feats = torch_features(model, normalize, style, STYLE_LAYERS)
+            style_targets = {}
+            for l in STYLE_LAYERS:
+                t_mean, t_srm = w2_get_target(style_feats[l])
+                cov = t_srm - torch.einsum("...c,...d->...cd", t_mean, t_mean)
+                cov = cov + torch.eye(cov.shape[-1]).expand_as(cov) * 1e-4
+                style_targets[l] = (t_mean, cov, torch_sqrtm_ns(cov, 12))
+
+        opt2 = torch.optim.Adam([image], lr=step_size, betas=(0.9, 0.99))
+        if s_i:
+            opt2.load_state_dict(torch_scale_adam(opt.state_dict(), (ch, cw)))
+        opt = opt2
+
+        def closure():
+            feats = torch_features(model, normalize, image,
+                                   CONTENT_LAYERS + STYLE_LAYERS)
+            loss = image.new_zeros(())
+            for l in CONTENT_LAYERS:
+                loss = loss + content_weight / len(CONTENT_LAYERS) * \
+                    torch.nn.functional.mse_loss(feats[l], content_targets[l])
+            for l, w in zip(STYLE_LAYERS, STYLE_LAYER_WEIGHTS):
+                loss = loss + w * w2_loss_torch(feats[l], *style_targets[l])
+            loss = loss + tv_weight * tv_loss_torch(image)
+            loss.backward()
+            return loss
+
+        its = initial_iterations if s_i == 0 else iterations
+        for _ in range(its):
+            opt.zero_grad()
+            loss = opt.step(closure)
+            with torch.no_grad():
+                image.clamp_(0, 1)
+            average.update(image.detach())
+            all_losses.append(float(loss))
+
+        with torch.no_grad():
+            image.copy_(average.get())
+
+    final = np.transpose(average.get().clamp(0, 1).numpy(), (0, 2, 3, 1))[0]
+    return np.asarray(all_losses), final
+
+
 # ------------------------------------------------------------------ the test
 
 
@@ -223,6 +318,45 @@ def test_fullloop_trajectory_matches_reference_semantics(content_pil, style_pil)
     # Final EMA images agree closely. Individual pixels in flat/clamped
     # regions amplify f32 rounding chaotically (measured max ~0.04-0.08), so
     # assert on PSNR and mean error, not per-pixel max.
+    assert t_final.shape == j_final.shape
+    mse = np.mean((t_final - j_final) ** 2)
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 40.0, f"final image PSNR {psnr:.1f} dB"
+    assert np.abs(t_final - j_final).mean() < 0.01
+
+
+@pytest.mark.slow
+def test_two_scale_pyramid_matches_reference_semantics(content_pil, style_pil):
+    """Pyramid crossing parity (VERDICT r2 #5): two scales exercise the
+    bicubic iterate upsample, EMA restart, target recapture, and the Adam
+    moment warm-start resize (ref :285-295, :459-462). The engine's
+    torch-semantics resize (ops/resize.py) is what makes this exact."""
+    iters = 25
+    # 48 -> 68: uses gen_scales' sqrt(2) spacing (min_scale=48, end_scale=68).
+    from style_transfer_tpu.utils.scales import gen_scales
+
+    scales = gen_scales(48, 68)
+    assert len(scales) == 2  # the crossing is the point
+
+    t_losses, t_final = reference_stylize_torch_pyramid(
+        content_pil, style_pil, scales=scales,
+        iterations=iters, initial_iterations=iters,
+    )
+
+    st = StyleTransfer(
+        devices=1, weights=PARAMS, compute_dtype="float32",
+        sqrtm_impl="xla", callback_chunk=25,
+    )
+    its = []
+    st.stylize(
+        content_pil, [style_pil], min_scale=scales[0], end_scale=scales[-1],
+        iterations=iters, initial_iterations=iters, callback=its.append,
+    )
+    j_losses = np.asarray([i.loss for i in its])
+    j_final = st.get_image_tensor()
+
+    assert len(j_losses) == 2 * iters
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-3)
     assert t_final.shape == j_final.shape
     mse = np.mean((t_final - j_final) ** 2)
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
