@@ -254,6 +254,11 @@ def build_parser(stylize_fn):
                    choices=["auto", "xla", "pallas"],
                    help="matrix-sqrt implementation (pallas = fused "
                         "VMEM-resident Newton-Schulz kernel, TPU only)")
+    p.add_argument("--w2-grad", type=str, default="trace",
+                   choices=["trace", "lyap"],
+                   help="W2 sqrt-term gradient: analytic trace VJP (exact, "
+                        "faster) or the reference's iterative Lyapunov "
+                        "backward")
     p.add_argument("--remat", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="rematerialize the trunk in backward (memory vs compute)")
@@ -371,6 +376,7 @@ def main(argv=None):
         style_loss=args.style_loss,
         content_loss=args.content_loss,
         sqrtm_impl=args.sqrtm,
+        w2_grad=args.w2_grad,
         remat=remat,
         n_bands=n_bands,
         n_bands_w=n_bands_w,

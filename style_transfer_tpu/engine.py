@@ -210,6 +210,7 @@ class StyleTransfer:
         style_loss: str = "w2",
         content_loss: str = "mse",
         sqrtm_impl: str = "auto",
+        w2_grad: str = "trace",
         remat: Optional[bool] = None,
         n_bands: Optional[int] = None,
         n_bands_w: Optional[int] = None,
@@ -246,6 +247,12 @@ class StyleTransfer:
         if sqrtm_impl == "auto":
             sqrtm_impl = "pallas" if self.devices[0].platform == "tpu" else "xla"
         self.sqrtm_impl = sqrtm_impl
+        # 'trace': analytic A^{-1/2}/2 VJP for the W2 sqrt term (exact, no
+        # Lyapunov backward chain — see ops/sqrtm.trace_sqrtm_ns); 'lyap':
+        # the reference's iterative Lyapunov backward (trajectory-exact
+        # against torch oracles; ~0.5% loss-path deviation between the two
+        # over 50 iters, same converged output).
+        self.w2_grad = w2_grad
         self._is_tpu = self.devices[0].platform == "tpu"
         self.remat = remat
         self.n_bands = n_bands
@@ -905,6 +912,7 @@ class StyleTransfer:
                     style_loss=self.style_loss,
                     content_loss=self.content_loss,
                     sqrtm_impl=self.sqrtm_impl,
+                    w2_grad=self.w2_grad,
                     pooling=self.pooling,
                     compute_dtype=self.compute_dtype,
                     step_size=step_size,

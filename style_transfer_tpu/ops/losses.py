@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .pooling import replicate_pad2d
-from .sqrtm import sqrtm_eig, sqrtm_ns_lyap
+from .sqrtm import sqrtm_eig, sqrtm_ns_lyap, trace_sqrtm_ns
 
 __all__ = [
     "scaled_mse",
@@ -195,13 +195,20 @@ def w2_loss(feats, target: W2Target, eps: float = 1e-4, sqrtm_iters: int = 12):
 
 
 def w2_losses_batched(means, covs, target: W2Target, sqrtm_iters: int = 12,
-                      sqrtm_fn=None):
+                      sqrtm_fn=None, trace_sqrtm_fn=None):
     """Per-element W2 losses for a stacked group of layers with equal C.
 
     Args: means (G, C); covs (G, C, C) already +eps*I; target fields stacked
     along G. Batching the group means the Newton-Schulz loops run as one
     batched matmul chain on the MXU instead of G sequential ones.
     Returns (G,) losses.
+
+    With ``trace_sqrtm_fn`` (default in the fused step) the sqrt term is
+    computed as a trace directly, whose analytic VJP is a scalar-matrix
+    product (ops.sqrtm.trace_sqrtm_ns) — same value and gradient as the
+    Lyapunov-solver path, minus its ~4-matmuls-per-NS-iteration backward
+    chain. ``sqrtm_fn`` selects the full-matrix implementation for the
+    reference-flavor Lyapunov path.
     """
     hi = jax.lax.Precision.HIGH
     mean_diff = jnp.mean(jnp.square(means - target.mean), axis=-1)
@@ -212,8 +219,12 @@ def w2_losses_batched(means, covs, target: W2Target, sqrtm_iters: int = 12,
         precision=hi,
         preferred_element_type=jnp.float32,
     )
-    sqrt_term = (sqrtm_fn or sqrtm_ns_lyap)(inner, sqrtm_iters)
-    cov_diff = _trace(target.cov + covs - 2.0 * sqrt_term) / covs.shape[-1]
+    if trace_sqrtm_fn is not None:
+        tr_sqrt = trace_sqrtm_fn(inner, sqrtm_iters)
+        cov_diff = (_trace(target.cov + covs) - 2.0 * tr_sqrt) / covs.shape[-1]
+    else:
+        sqrt_term = (sqrtm_fn or sqrtm_ns_lyap)(inner, sqrtm_iters)
+        cov_diff = _trace(target.cov + covs - 2.0 * sqrt_term) / covs.shape[-1]
     return mean_diff + cov_diff
 
 

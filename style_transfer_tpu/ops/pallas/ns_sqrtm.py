@@ -20,7 +20,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sqrtm_ns_pallas", "sqrtm_ns_lyap_pallas"]
+__all__ = ["sqrtm_ns_pallas", "sqrtm_ns_lyap_pallas", "trace_sqrtm_ns_pallas"]
 
 
 def _dot(a, b):
@@ -68,6 +68,25 @@ def _ns_fwd_kernel(a_ref, y_ref, *, num_iters):
 
     y, _ = lax.fori_loop(0, num_iters, body, (y0, z0))
     y_ref[0] = y * jnp.sqrt(norm)
+
+
+def _ns_fwd_yz_kernel(a_ref, y_ref, z_ref, *, num_iters):
+    """Coupled NS emitting both Y -> A^{1/2} and Z -> A^{-1/2}."""
+    a = a_ref[0].astype(jnp.float32)
+    n = a.shape[-1]
+    norm = jnp.sqrt(jnp.sum(a * a))
+    y0 = a / norm
+    z0 = _add_diag(jnp.zeros((n, n), jnp.float32), 1.0)
+
+    def body(_, yz):
+        y, z = yz
+        t = _add_diag(_dot(z, y) * -0.5, 1.5)
+        return _dot(y, t), _dot(t, z)
+
+    y, z = lax.fori_loop(0, num_iters, body, (y0, z0))
+    sn = jnp.sqrt(norm)
+    y_ref[0] = y * sn
+    z_ref[0] = z / sn
 
 
 def _lyap_bwd_kernel(z_ref, g_ref, q_ref, *, num_iters):
@@ -155,3 +174,51 @@ def _bwd(num_iters, num_iters_backward, z, g):
 
 
 sqrtm_ns_lyap_pallas.defvjp(_fwd, _bwd)
+
+
+def _sqrtm_ns_yz_pallas(a, num_iters):
+    ab, had_batch = _batched(a)
+    g, c, _ = ab.shape
+    spec = pl.BlockSpec((1, c, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    y, z = pl.pallas_call(
+        functools.partial(_ns_fwd_yz_kernel, num_iters=num_iters),
+        grid=(g,),
+        in_specs=[spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((g, c, c), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(ab)
+    if not had_batch:
+        y, z = y[0], z[0]
+    return y, z
+
+
+def _batch_trace(y):
+    n = y.shape[-1]
+    r = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.sum(jnp.where(r == c, y, 0.0), axis=(-2, -1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def trace_sqrtm_ns_pallas(a, num_iters: int = 12):
+    """``trace(sqrtm(A))`` with the analytic A^{-1/2}/2 VJP (see
+    ops.sqrtm.trace_sqrtm_ns); the VMEM-resident chain emits Z alongside Y
+    so the backward is a scalar-matrix product — no Lyapunov kernel."""
+    y, _ = _sqrtm_ns_yz_pallas(a, num_iters)
+    return _batch_trace(y)
+
+
+def _trace_fwd(a, num_iters):
+    y, zinv = _sqrtm_ns_yz_pallas(a, num_iters)
+    return _batch_trace(y), zinv
+
+
+def _trace_bwd(num_iters, zinv, g):
+    return (0.5 * g[..., None, None] * zinv,)
+
+
+trace_sqrtm_ns_pallas.defvjp(_trace_fwd, _trace_bwd)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["sqrtm_ns", "sqrtm_ns_lyap", "sqrtm_eig"]
+__all__ = ["sqrtm_ns", "sqrtm_ns_lyap", "sqrtm_eig", "trace_sqrtm_ns"]
 
 
 def _check_square(a):
@@ -79,6 +79,63 @@ def sqrtm_ns(a, num_iters: int = 10):
 
     y, _ = lax.fori_loop(0, num_iters, body, (y0, z0))
     return y * jnp.sqrt(norm)
+
+
+def _sqrtm_ns_yz(a, num_iters: int):
+    """Coupled NS outputs: (A^{1/2}, A^{-1/2}). Z converges to the inverse
+    square root alongside Y at no extra matmul cost."""
+    _check_square(a)
+    n = a.shape[-1]
+    norm = _fro_norm(a)
+    eye = jnp.eye(n, dtype=a.dtype)
+    y0 = a / norm
+    z0 = jnp.broadcast_to(eye, a.shape)
+
+    def body(_, yz):
+        y, z = yz
+        t = (3.0 * eye - _mm(z, y)) * 0.5
+        return _mm(y, t), _mm(t, z)
+
+    y, z = lax.fori_loop(0, num_iters, body, (y0, z0))
+    sn = jnp.sqrt(norm)
+    return y * sn, z / sn
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def trace_sqrtm_ns(a, num_iters: int = 12):
+    """``trace(sqrtm(A))`` with the analytic VJP — the W2 loss's only use
+    of the in-loop square root (ref ``style_transfer.py:175-181`` takes the
+    diagonal mean of the sqrt term).
+
+    The Fréchet derivative gives d tr(A^{1/2}) / dA = A^{-1/2} / 2 exactly
+    (the Lyapunov equation A^{1/2} X + X A^{1/2} = g I has the closed-form
+    solution X = g/2 · A^{-1/2}), and the coupled Newton-Schulz iteration
+    already produces A^{-1/2} as its Z output. The backward is therefore a
+    scalar-matrix product instead of the reference's ~4-matmul-per-iteration
+    Lyapunov solve — it removes the entire backward chain from the fused
+    step while computing the SAME gradient the Lyapunov iteration converges
+    to.
+
+    Returns a scalar per batch element: shape ``a.shape[:-2]``.
+    """
+    y, _ = _sqrtm_ns_yz(a, num_iters)
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    return jnp.sum(y * eye, axis=(-2, -1))
+
+
+def _trace_sqrtm_fwd(a, num_iters):
+    y, zinv = _sqrtm_ns_yz(a, num_iters)
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    return jnp.sum(y * eye, axis=(-2, -1)), zinv
+
+
+def _trace_sqrtm_bwd(num_iters, zinv, g):
+    return (0.5 * g[..., None, None] * zinv,)
+
+
+trace_sqrtm_ns.defvjp(_trace_sqrtm_fwd, _trace_sqrtm_bwd)
 
 
 def _lyap_backward(z, g, num_iters: int):

