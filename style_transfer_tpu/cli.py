@@ -22,7 +22,7 @@ import webbrowser
 from pathlib import Path
 
 from .io_color import load_image, print_error, save_image
-from .utils.scales import align_size, get_safe_scale, size_to_fit
+from .utils.scales import get_safe_scale
 from .utils.trace import TraceRecorder
 
 __doc_short__ = "Neural style transfer on TPU (JAX/XLA), W2/Gram losses over VGG-19."
@@ -266,11 +266,6 @@ def build_parser(stylize_fn):
                    help="bands for the banded trunk at print sizes: auto, "
                         "off, a row count N, or RxC for a 2D slab grid "
                         "(see ops/banded.py)")
-    p.add_argument("--trunk", type=str, default="auto",
-                   choices=["auto", "xla", "pallas"],
-                   help="early-trunk implementation (pallas = fused "
-                        "conv1_1..pool2 VMEM kernel, TPU only; auto engages "
-                        "it at print sizes)")
     p.add_argument("--paired-early", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="width-paired conv1_1..relu1_2 layout (full 128-lane "
@@ -278,7 +273,8 @@ def build_parser(stylize_fn):
     p.add_argument("--align", **arg_info("align"),
                    help="round optimization dims to a multiple (1 = exact "
                         "reference sizing; 8/16 avoids odd pooling cascades "
-                        "that slow TPU mid-scales)")
+                        "that slow TPU mid-scales; default: exact "
+                        "single-chip, shard-divisible under a mesh)")
     p.add_argument("--callback-chunk", type=int, default=50,
                    help="iterations fused per device round-trip")
     p.add_argument("--trace", type=str, default="trace.json",
@@ -348,9 +344,9 @@ def main(argv=None):
     args.end_scale = end_scale
     # The aligned final canvas the engine will actually optimize at — used by
     # the callback to detect the last scale (put_done vs intermediate save).
-    args.final_dims = align_size(
-        size_to_fit(content_img.size, end_scale, scale_up=True), args.align
-    )
+    # Filled in after the engine exists (the effective alignment depends on
+    # the mesh; see StyleTransfer.canvas).
+    args.final_dims = None
 
     web_interface = None
     if args.web:
@@ -380,12 +376,14 @@ def main(argv=None):
         remat=remat,
         n_bands=n_bands,
         n_bands_w=n_bands_w,
-        trunk_impl=args.trunk,
         paired_early={"auto": None, "on": True, "off": False}[
             args.paired_early],
         callback_chunk=args.callback_chunk,
     )
     st.seed(args.random_seed)
+    # The aligned final canvas the engine will optimize at — used by the
+    # callback to detect the last scale (put_done vs intermediate save).
+    args.final_dims = st.canvas(content_img.size, args.end_scale, args.align)
     print(f"VGG-19 weights: {st.weights_source}")
 
     callback = Callback(st, args, image_type=image_type, web_interface=web_interface)

@@ -46,7 +46,12 @@ from .step import (
 from .utils.checkpoint import AsyncCheckpointWriter, load_checkpoint
 from .utils.ema import EMAState, ema_get, ema_init
 from .utils.jaxcache import enable_persistent_cache
-from .utils.scales import align_size, gen_scales, size_to_fit
+from .utils.scales import (
+    align_size,
+    gen_scales,
+    shard_align_size,
+    size_to_fit,
+)
 from .utils.trace import STIterate, peak_device_ram
 
 __all__ = ["StyleTransfer"]
@@ -189,9 +194,6 @@ class StyleTransfer:
       n_bands_w: optional second banding level along the other spatial axis
         (2D slab grid; None = auto, currently off — single-axis row bands
         measured best on v5e standard aspects).
-      trunk_impl: 'auto' | 'xla' | 'pallas' — 'pallas' runs conv1_1..pool2
-        as the fused VMEM kernel (ops/pallas/trunk.py); 'auto' engages it on
-        TPU at print sizes where it beats the banded-XLA trunk.
       paired_early: run conv1_1..relu1_2 in the width-paired (N, H, W/2, 2C)
         layout (full 128-lane tiles for the C=64 block, halved pool1
         select_and_scatter; vgg.extract_features ``paired_early``). None =
@@ -214,7 +216,6 @@ class StyleTransfer:
         remat: Optional[bool] = None,
         n_bands: Optional[int] = None,
         n_bands_w: Optional[int] = None,
-        trunk_impl: str = "auto",
         paired_early: Optional[bool] = None,
         callback_chunk: int = 50,
     ):
@@ -257,7 +258,6 @@ class StyleTransfer:
         self.remat = remat
         self.n_bands = n_bands
         self.n_bands_w = n_bands_w
-        self.trunk_impl = trunk_impl
         self.paired_early = paired_early
         self.callback_chunk = int(callback_chunk)
 
@@ -353,30 +353,28 @@ class StyleTransfer:
     _BAND_SLAB_PX = 340_000
     _BAND_SLAB_PX_WIDE = 235_000  # banded-axis width > 2400
     _BAND_WIDE_W = 2400
-    # Fused Pallas early trunk: 'auto' currently never engages it — as of
-    # this round the kernel's VPU-bound backward (254 ms/iter fwd+bwd at
-    # 2896x2172) does not yet beat the banded-XLA step (245 ms/iter total);
-    # see PERF.md "Pallas early trunk". Opt in with trunk_impl='pallas'.
-    _PALLAS_TRUNK_MIN_PX = float("inf")
+    # NOTE: the fused Pallas early-trunk kernel (r2's ops/pallas/trunk.py)
+    # was REMOVED in r3 under the dead-by-default standard: it never beat
+    # the banded-XLA step end-to-end, and a remote-toolchain update then
+    # regressed its forward ~4x and broke its backward compile outright
+    # (PERF.md "Pallas early trunk postmortem").
 
-    def _paired_early(self, h, w, trunk_impl: str) -> bool:
+    def _paired_early(self, h, w) -> bool:
         # Width-paired conv1_1..relu1_2 (vgg paired_early): even width and
-        # single-mesh only; the Pallas trunk replaces the early block
-        # entirely. Measured v5e (PERF.md "paired early trunk"): wins at
-        # every scale up to W=2048 (512px -16%, 1024x768 -26%, 1448x1086
-        # -19%, 2048x1536 -21%) and is within noise of the tuned unpaired
-        # banding at giant widths (portrait 2172-wide: +1%; landscape
-        # 2896-wide @27 bands: +2%) — gate at W <= 2048.
+        # single-mesh only. Measured v5e (PERF.md "paired early trunk"):
+        # wins at every scale up to W=2048 (512px -16%, 1024x768 -26%,
+        # 1448x1086 -19%, 2048x1536 -21%) and is within noise of the tuned
+        # unpaired banding at giant widths (portrait 2172-wide: +1%;
+        # landscape 2896-wide @27 bands: +2%) — gate at W <= 2048.
         if self.paired_early is not None:
             # Explicit opt-in still honors the hard constraints (even
-            # width, single mesh, non-Pallas trunk).
+            # width, single mesh).
             return (bool(self.paired_early) and w % 2 == 0
-                    and self.mesh is None and trunk_impl != "pallas")
+                    and self.mesh is None)
         del h
         return (
             self._is_tpu
             and self.mesh is None
-            and trunk_impl != "pallas"
             and w % 2 == 0
             and w <= 2048
         )
@@ -389,14 +387,12 @@ class StyleTransfer:
         the full cfg, so any drift between the two sites would silently turn
         every prefetch into a cache miss (falling back to synchronous JIT).
         """
-        trunk = self._trunk_impl(h, w)
         return dict(
             maxpool_impl=self._maxpool_impl(h, w),
             im2col_layers=self._im2col_layers(h, w),
-            trunk_impl=trunk,
-            n_bands=0 if trunk == "pallas" else self._n_bands(h, w),
-            n_bands_w=0 if trunk == "pallas" else self._n_bands_w(h, w),
-            paired_early=self._paired_early(h, w, trunk),
+            n_bands=self._n_bands(h, w),
+            n_bands_w=self._n_bands_w(h, w),
+            paired_early=self._paired_early(h, w),
             remat=self._auto_remat(h, w),
         )
 
@@ -412,18 +408,6 @@ class StyleTransfer:
         if not self._is_tpu:
             return ()
         return (10, 19, 28) if h * w <= 4_000_000 else (10, 28)
-
-    def _trunk_impl(self, h, w) -> str:
-        if self.trunk_impl != "auto":
-            return self.trunk_impl
-        ok = (
-            self._is_tpu
-            and self.mesh is None
-            and self.pooling == "max"
-            and all(l > 9 for l in self.content_layers)
-            and tuple(l for l in self.style_layers if l <= 9) == (1, 6)
-        )
-        return "pallas" if ok and h * w >= self._PALLAS_TRUNK_MIN_PX else "xla"
 
     def _n_bands(self, h, w) -> int:
         if not self._is_tpu or self.mesh is not None:
@@ -455,6 +439,21 @@ class StyleTransfer:
         # tapped-trunk activations are ~0.5 KB/pixel, so a 16 GB chip holds
         # ~14 Mpx comfortably; beyond that, rematerialize.
         return h * w > 14_000_000
+
+    def canvas(self, content_size, scale, align=None):
+        """(w, h) optimization canvas for ``scale``. Explicit ``align``
+        rounds to that multiple (ref-exact sizing = 1); the default (None)
+        keeps exact sizes single-chip and snaps to shard-divisible dims
+        under a mesh (utils/scales.shard_align_size — non-divisible dims
+        cost a 100 MB/iter all-gather at print sizes)."""
+        cw, ch = size_to_fit(content_size, scale, scale_up=True)
+        if align is not None and align > 1:
+            return align_size((cw, ch), align)
+        if align is None and self.mesh is not None:
+            rows = self.mesh.shape.get("sph", 1)
+            cols = self.mesh.shape.get("spw", 1)
+            return shard_align_size((cw, ch), rows, cols)
+        return (cw, ch)
 
     def _capture_knobs(self, h, w):
         """Trunk knobs for the f32 target-capture forwards. Same layout
@@ -792,7 +791,7 @@ class StyleTransfer:
         init: str = "content",
         style_scale_fac: float = 1.0,
         style_size: int = None,
-        align: int = 1,
+        align: int = None,
         callback=None,
         checkpoint: str = None,
         checkpoint_every: int = 500,
@@ -848,10 +847,8 @@ class StyleTransfer:
                     "--min-scale/--end-scale changed since the checkpoint?"
                 )
             meta = resume_state.get("meta", {})
-            exp_cw, exp_ch = align_size(
-                size_to_fit(content_image.size, scales[start_scale_idx],
-                            scale_up=True),
-                align,
+            exp_cw, exp_ch = self.canvas(
+                content_image.size, scales[start_scale_idx], align
             )
             got = (meta.get("w"), meta.get("h"))
             if None not in got and got != (exp_cw, exp_ch):
@@ -874,9 +871,7 @@ class StyleTransfer:
             )
             self.image = jnp.asarray(resume_state["image"])
         else:
-            cw, ch = align_size(
-                size_to_fit(content_image.size, scales[0], scale_up=True), align
-            )
+            cw, ch = self.canvas(content_image.size, scales[0], align)
             self.image = self._init_image(
                 init, content_image, style_images, style_weights, (ch, cw)
             )
@@ -888,9 +883,7 @@ class StyleTransfer:
                 if scale_idx < start_scale_idx:
                     continue
                 resuming_here = resume_state is not None and scale_idx == start_scale_idx
-                cw, ch = align_size(
-                    size_to_fit(content_image.size, scale, scale_up=True), align
-                )
+                cw, ch = self.canvas(content_image.size, scale, align)
                 content = jnp.asarray(_pil_to_nhwc(content_image, (cw, ch)))
 
                 if resuming_here:
@@ -931,10 +924,8 @@ class StyleTransfer:
                 if optimizer == "adam":
                     self._prefetch_scale(cfg, ch, cw, actual_its)
                     for nxt in range(scale_idx + 1, len(scales)):
-                        cw2, ch2 = align_size(
-                            size_to_fit(content_image.size, scales[nxt],
-                                        scale_up=True),
-                            align,
+                        cw2, ch2 = self.canvas(
+                            content_image.size, scales[nxt], align
                         )
                         self._prefetch_scale(
                             dataclasses.replace(cfg, **self._size_knobs(ch2, cw2)),

@@ -91,14 +91,6 @@ class StepConfig:
     # halo-slab grid): squarer slabs keep the paired pool/early trunk
     # formulations eligible at giant widths (ops/banded.py).
     n_bands_w: int = 0
-    # 'xla' = monolithic/banded XLA trunk (n_bands decides); 'pallas' = fused
-    # Pallas early-trunk kernel (conv1_1..pool2 in VMEM, ops/pallas/trunk.py)
-    # with the deep trunk running monolithically from the pool2 cut.
-    # Single-mesh, max pooling, default early taps only.
-    trunk_impl: str = "xla"
-    # Pallas early-trunk owned tile edge (multiple of 16): larger tiles cut
-    # the halo-slab overlap tax, smaller ones fit VMEM more comfortably.
-    pallas_tile: int = 64
     # Conv layers to run as explicit im2col matmuls (vgg._conv_im2col):
     # sidesteps XLA's conv-emitter layout pathologies, e.g. conv3_1 (10)
     # right after the pool2 cut at print sizes.
@@ -225,61 +217,11 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 total += w * sse / (sabs + 1e-8)
         return total
 
-    use_pallas_trunk = cfg.trunk_impl == "pallas" and mesh is None
-    if use_pallas_trunk:
-        from .ops.pallas.trunk import CUT_LAYER, early_trunk_stats
-
-        early_style = tuple(l for l in cfg.style_layers if l <= CUT_LAYER)
-        if early_style != (1, 6) or any(
-            l <= CUT_LAYER for l in cfg.content_layers
-        ) or cfg.pooling != "max":
-            raise ValueError(
-                "trunk_impl='pallas' supports the default early taps only "
-                "(style relu1_1/relu2_1, no content layer before pool2, "
-                "max pooling)"
-            )
-    use_bands = cfg.n_bands >= 2 and mesh is None and not use_pallas_trunk
-
-    def pallas_trunk_stats(image, params, consts):
-        """Fused-kernel hybrid: Pallas conv1_1..pool2 (+ early moments),
-        monolithic XLA deep trunk from the cut activation."""
-        cut, moments = early_trunk_stats(
-            params, image,
-            compute_dtype=cfg.dtype if cfg.dtype is not None else jnp.float32,
-            # Mosaic interpreter off-TPU so CPU tests exercise this path.
-            interpret=jax.default_backend() != "tpu",
-            tile=cfg.pallas_tile,
-        )
-        late_taps = tuple(l for l in cfg.all_layers if l > CUT_LAYER)
-
-        def late_fn(x2):
-            return extract_features(
-                params, x2, late_taps, pooling=cfg.pooling,
-                compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
-                start_layer=CUT_LAYER + 1,
-                im2col_layers=cfg.im2col_layers,
-            )
-
-        feats2 = late_fn(cut) if late_taps else {}
-        moments = dict(moments)
-        for l in cfg.style_layers:
-            if l > CUT_LAYER:
-                moments[l] = L.w2_moments(feats2[l])
-        content_acc = {}
-        for layer in cfg.content_layers:
-            diff = (feats2[layer].astype(jnp.float32)
-                    - consts["content"][layer].astype(jnp.float32))
-            content_acc[layer] = (
-                jnp.sum(jnp.square(diff)), jnp.sum(jnp.abs(diff)), diff.size
-            )
-        return moments, content_acc
+    use_bands = cfg.n_bands >= 2 and mesh is None
 
     def loss_fn(image, params, consts):
         image = constrain_image(image, mesh)
-        if use_pallas_trunk:
-            moments, content_acc = pallas_trunk_stats(image, params, consts)
-            tv = L.tv_loss(image)
-        elif use_bands:
+        if use_bands:
             from .ops.banded import banded_stats
 
             cut = cfg.band_cut

@@ -6,7 +6,8 @@ Parity with the reference's pyramid helpers
 ``gen_scales(128, 512) == [128, 181, 256, 362, 512]``.
 """
 
-__all__ = ["gen_scales", "size_to_fit", "get_safe_scale", "align_size"]
+__all__ = ["gen_scales", "size_to_fit", "get_safe_scale", "align_size",
+           "shard_align_size"]
 
 
 def gen_scales(start: int, end: int):
@@ -45,6 +46,24 @@ def align_size(size, align: int):
     w, h = size
     return (max(align, round(w / align) * align),
             max(align, round(h / align) * align))
+
+
+def shard_align_size(size, mesh_rows: int, mesh_cols: int, tol: float = 0.015):
+    """Snap (w, h) to shard-divisible dims for a rows x cols spatial mesh —
+    H to a multiple of 16*rows, W to 16*cols — but only when the change
+    stays within ``tol`` per axis (so small pyramid scales keep their exact
+    aspect). At non-divisible dims GSPMD resolves the deep taps by
+    ALL-GATHERING a full relu5-level activation every iteration (measured:
+    100 MB/iter f32 at 2896x2172 on a 2x2 mesh, tools/sharded_report.py);
+    divisible dims compile to pure halo strips (~32 MB/iter)."""
+    w, h = size
+    aw = 16 * mesh_cols
+    ah = 16 * mesh_rows
+    w2 = max(aw, round(w / aw) * aw)
+    h2 = max(ah, round(h / ah) * ah)
+    if abs(w2 - w) > tol * w or abs(h2 - h) > tol * h:
+        return (w, h)
+    return (w2, h2)
 
 
 def get_safe_scale(w: int, h: int, dim: int) -> int:

@@ -46,3 +46,39 @@ def test_align_size():
     assert align_size((1448, 1086), 16) == (1440, 1088)
     assert align_size((5, 5), 8) == (8, 8)
     assert align_size((100, 50), 4) == (100, 48)
+
+
+def test_shard_align_size():
+    from style_transfer_tpu.utils.scales import shard_align_size
+
+    # 2x2 mesh at the print canvas: snaps both axes to multiples of 32
+    # (within the 1.5% tolerance) — non-divisible dims cost a 100 MB/iter
+    # all-gather (tools/sharded_report.py finding, PERF.md r3).
+    w, h = shard_align_size((2172, 2896), 2, 2)
+    assert w % 32 == 0 and h % 32 == 0
+    assert abs(w - 2172) / 2172 <= 0.015 and abs(h - 2896) / 2896 <= 0.015
+    # Small canvases keep their exact aspect (tolerance guard).
+    assert shard_align_size((64, 48), 2, 1) == (64, 48)
+    assert shard_align_size((67, 50), 4, 2) == (67, 50)
+    # Already divisible: unchanged.
+    assert shard_align_size((2176, 2880), 2, 2) == (2176, 2880)
+
+
+def test_engine_canvas_alignment():
+    import jax
+
+    from style_transfer_tpu.engine import StyleTransfer
+    from style_transfer_tpu.models.weights import random_params
+
+    params = random_params(0)
+    # Single chip: exact reference sizing by default.
+    st1 = StyleTransfer(devices=1, weights=params)
+    assert st1.canvas((1500, 2000), 2896) == (2172, 2896)
+    # Mesh: default (align=None) snaps to shard-divisible dims...
+    st4 = StyleTransfer(devices=jax.devices()[:4], weights=params)
+    w, h = st4.canvas((1500, 2000), 2896)
+    assert w % 32 == 0 and h % 32 == 0
+    # ...explicit align=1 restores exact sizing, explicit align=8 rounds.
+    assert st4.canvas((1500, 2000), 2896, align=1) == (2172, 2896)
+    cw, ch = st4.canvas((1500, 2000), 2896, align=8)
+    assert cw % 8 == 0 and ch % 8 == 0

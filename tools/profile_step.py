@@ -1,7 +1,7 @@
 """Per-op TPU profile of the fused step at a given size.
 
 Usage: python tools/profile_step.py [H] [W] [maxpool_impl] [chunks] [k=v ...]
-Trailing k=v pairs are StepConfig overrides (e.g. n_bands=12 trunk_impl=pallas
+Trailing k=v pairs are StepConfig overrides (e.g. n_bands=12
 im2col_layers=0,10,28). Parses the vm.trace.json.gz the axon profiler writes
 and buckets device op durations. See PERF.md for the history of these numbers.
 
