@@ -1001,16 +1001,20 @@ class StyleTransfer:
                                 print("Warning: checkpoint write failed: "
                                       f"{ckpt_writer.error}")
                                 ckpt_writer.error = None
+                            with _phase_timer(f"ckpt-snapshot@{scale}"):
+                                snap = dict(
+                                    image=jax.device_get(state.image),
+                                    adam=jax.device_get(state.opt),
+                                    ema=jax.device_get(state.ema),
+                                )
                             ckpt_writer.submit(
                                 checkpoint,
-                                image=jax.device_get(state.image),
-                                adam=jax.device_get(state.opt),
-                                ema=jax.device_get(state.ema),
                                 scale_index=scale_idx,
                                 done_iters=done + n,
                                 meta={"w": cw, "h": ch, "scale": scale},
                                 optimizer=optimizer,
                                 rng=_snapshot_rng(self._rng),
+                                **snap,
                             )
                             iters_since_ckpt = 0
                     if callback is not None:

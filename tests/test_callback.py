@@ -49,11 +49,14 @@ def test_final_scale_detected_via_aligned_dims(monkeypatch, tmp_path):
     args = make_args(end_scale=500, final_dims=(496, 368))
     cb = Callback(StubEngine(), args, web_interface=web)
 
-    # intermediate scale finishing -> save, no done
+    # intermediate scale finishing -> save, no done (saves are async —
+    # drain the writer before asserting)
     cb(iterate(256, 192, 10, 10))
+    cb.saver.flush()
     assert saves == ["out.png"] and web.done == 0
     # final (aligned) scale finishing -> done, no extra save
     cb(iterate(496, 368, 10, 10))
+    cb.saver.flush()
     assert saves == ["out.png"] and web.done == 1
 
 
