@@ -81,10 +81,11 @@ class AsyncCheckpointWriter:
     .npz) is pure host I/O; running it on a worker thread keeps it out of
     the iteration loop. Only the *newest* submitted state is kept — if a
     write is still in flight when the next one arrives, the pending slot is
-    replaced (a checkpoint is a recovery point, not a log). The caller must
-    pass host arrays (np.ndarray), NOT device buffers: the engine's step
-    donates its state, so a device buffer could be invalidated while the
-    writer still holds it.
+    replaced (a checkpoint is a recovery point, not a log). Device arrays
+    are fine as long as they are COPIES the caller will not donate (the
+    engine snapshots with ``jnp.copy``): the device->host fetch then runs
+    on this thread, overlapping device compute. Never submit the live state
+    itself — the step donates it at the next chunk.
 
     ``flush()`` blocks until the slot is empty and no write is in flight —
     call it before process exit (and on interrupt) so the last submitted
