@@ -66,9 +66,11 @@ def fix_start_method():
 class _AsyncImageSaver:
     """Background writer for mid-run image saves (single-slot, latest wins).
 
-    The PIL encode + disk write of a print-size PNG/TIFF costs seconds; the
-    device_get snapshot already happened on the caller's thread (the engine
-    donates its buffers to the next chunk), so only host I/O runs here.
+    Both the device->host fetch (the payload is a fresh device-side
+    snapshot from ``StyleTransfer.get_image_device`` — never a donated
+    buffer) and the PIL encode + disk write run here, off the iteration
+    loop: a synchronous 75 MB EMA fetch per --save-every costs seconds
+    each on a remote-attached backend.
     """
 
     def __init__(self):
@@ -80,14 +82,20 @@ class _AsyncImageSaver:
         threading.Thread(target=self._run, name="stt-save", daemon=True).start()
 
     def _run(self):
+        from .engine import tensor_to_image
+
         while True:
             with self._cond:
                 while self._pending is None:
                     self._cond.wait()
-                path, image = self._pending
+                path, image, image_type = self._pending
                 self._pending = None
                 self._busy = True
             try:
+                # A device-array payload is fetched HERE, off the iteration
+                # loop (the engine hands out fresh non-donated snapshots).
+                if not hasattr(image, "save") and image_type is not None:
+                    image = tensor_to_image(image, image_type)
                 save_image(path, image)
             except (OSError, ValueError) as err:
                 print_error(err)
@@ -95,9 +103,9 @@ class _AsyncImageSaver:
                 self._busy = False
                 self._cond.notify_all()
 
-    def submit(self, path, image):
+    def submit(self, path, image, image_type=None):
         with self._cond:
-            self._pending = (path, image)
+            self._pending = (path, image, image_type)
             self._cond.notify_all()
 
     def flush(self):
@@ -151,12 +159,14 @@ class Callback:
             self.progress = None
             if not self._is_final_scale(iterate):
                 self.saver.submit(self.args.output,
-                                  self.st.get_image(self.image_type))
+                                  self.st.get_image_device(),
+                                  self.image_type)
             elif self.web_interface is not None:
                 self.web_interface.put_done()
         elif iterate.i % self.args.save_every == 0:
             self.saver.submit(self.args.output,
-                              self.st.get_image(self.image_type))
+                              self.st.get_image_device(),
+                              self.image_type)
 
     def close(self):
         self.saver.flush()

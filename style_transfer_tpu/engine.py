@@ -285,6 +285,8 @@ class StyleTransfer:
         self._fn_cache = {}
         self._prefetcher = _AOTPrefetcher()
         self._rng = np.random.RandomState(0)
+        self._img_cache_key = None  # EMAState the cached host tensor is of
+        self._img_cache = None
 
     # ------------------------------------------------------------------ API
 
@@ -292,21 +294,33 @@ class StyleTransfer:
         self._rng = np.random.RandomState(seed)
 
     def get_image_tensor(self):
-        """Current averaged iterate as (H, W, 3) f32 ndarray in [0, 1]."""
+        """Current averaged iterate as (H, W, 3) f32 ndarray in [0, 1].
+
+        Memoized on the EMA state object: the state only changes once per
+        fused chunk, but callbacks run per iteration — on a remote-attached
+        backend an uncached 75 MB device_get per iterate (e.g. the web
+        preview feed) costs seconds each."""
         if self.average is None:
             return None
-        img = np.asarray(jax.device_get(ema_get(self.average)))[0]
-        return np.clip(img, 0.0, 1.0)
+        if self._img_cache_key is not self.average:
+            img = np.asarray(jax.device_get(ema_get(self.average)))[0]
+            self._img_cache = np.clip(img, 0.0, 1.0)
+            self._img_cache_key = self.average
+        return self._img_cache
+
+    def get_image_device(self):
+        """Device-side snapshot of the averaged iterate, (1, H, W, 3) f32 in
+        [0, 1]. A FRESH buffer (never donated), so another thread may fetch
+        it while the optimization keeps running — the async mid-run saver
+        uses this to keep the device->host transfer off the iteration loop."""
+        if self.average is None:
+            return None
+        return jnp.clip(ema_get(self.average), 0.0, 1.0)
 
     def get_image(self, image_type: str = "pil"):
         if self.average is None:
             return None
-        arr = self.get_image_tensor()
-        if image_type.lower() == "pil":
-            return Image.fromarray(np.uint8(np.round(arr * 255.0)))
-        if image_type.lower() == "np_uint16":
-            return np.uint16(np.round(arr * 65535.0))
-        raise ValueError("image_type must be 'pil' or 'np_uint16'")
+        return tensor_to_image(self.get_image_tensor(), image_type)
 
     def loss_terms(self):
         """Per-term weighted losses of the current iterate (diagnostic;
@@ -467,13 +481,11 @@ class StyleTransfer:
             self._maxpool_impl(h, w),
         )
 
-    def _features(self, image, layers):
-        """Target-capture forward pass (f32, jitted; cached per layer set +
-        size knobs). At print sizes the early trunk runs per halo-slab band
-        (ops/banded.banded_forward_cut) and the deep trunk monolithically
-        from the reassembled pool2 cut."""
-        h, w = np.shape(image)[1:3]
-        layers_t = tuple(sorted(set(layers)))
+    def _features_fn(self, layers_t, h, w):
+        """Jitted target-capture forward for a canvas size (cached per
+        layer set + size knobs). At print sizes the early trunk runs per
+        halo-slab band (ops/banded.banded_forward_cut) and the deep trunk
+        monolithically from the reassembled pool2 cut."""
         knobs = self._capture_knobs(h, w)
         from .ops.banded import DEFAULT_CUT
 
@@ -511,15 +523,22 @@ class StyleTransfer:
                     return {l: feats[l] for l in layers_t}
 
             self._fn_cache[key] = jax.jit(feat)
-        return self._fn_cache[key](self.params, jnp.asarray(image, jnp.float32))
+        return key, self._fn_cache[key]
 
-    def _style_stats(self, style_image, mode: str):
-        """Jitted per-style-image statistics: {layer: (mean, srm)} or Grams.
+    def _features(self, image, layers):
+        h, w = np.shape(image)[1:3]
+        layers_t = tuple(sorted(set(layers)))
+        key, fn = self._features_fn(layers_t, h, w)
+        exe = self._capture_exe(key, fn, (h, w))
+        return exe(self.params, jnp.asarray(image, jnp.float32))
+
+    def _style_stats_fn(self, mode: str, h, w):
+        """Jitted per-style-image statistics fn: {layer: (mean, srm)} or
+        Grams (cached per mode + size knobs).
 
         At print-size style resolutions the statistics accumulate per band
         (ops/banded.banded_stats — they are pixel sums, so banding is
         exact), with the deep trunk monolithic from the pool2 cut."""
-        h, w = np.shape(style_image)[1:3]
         knobs = self._capture_knobs(h, w)
         n_bands, im2col, pool_impl = knobs
         banded = n_bands >= 2
@@ -574,7 +593,53 @@ class StyleTransfer:
                 return {l: (moments[l][1],) for l in layers_t}
 
             self._fn_cache[key] = jax.jit(stats)
-        return self._fn_cache[key](self.params, jnp.asarray(style_image, jnp.float32))
+        return key, self._fn_cache[key]
+
+    def _style_stats(self, style_image, mode: str):
+        h, w = np.shape(style_image)[1:3]
+        key, fn = self._style_stats_fn(mode, h, w)
+        exe = self._capture_exe(key, fn, (h, w))
+        return exe(self.params, jnp.asarray(style_image, jnp.float32))
+
+    def _capture_exe(self, key, fn, hw):
+        """AOT-compiled executable of a capture fn at a concrete canvas.
+
+        Consults the prefetcher first (stylize submits every scale's capture
+        compiles up front, so compiles and one-shot program loads overlap
+        iteration — and a remote-compile-service stall no longer lands
+        inside a scale's target phase); falls back to compiling here."""
+        ekey = ("exe", key, hw)
+        if ekey in self._fn_cache:
+            return self._fn_cache[ekey]
+        exe = self._prefetcher.get(ekey)
+        if exe is None:
+            exe = self._lower_capture(fn, hw).compile()
+        self._fn_cache[ekey] = exe
+        return exe
+
+    def _lower_capture(self, fn, hw):
+        params_in = {
+            k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+            for k, v in self.params.items()
+        }
+        img = jax.ShapeDtypeStruct((1, hw[0], hw[1], 3), jnp.float32)
+        return fn.lower(params_in, img)
+
+    def _prefetch_capture(self, ch, cw, style_hws, style_loss):
+        """Queue AOT compiles for a scale's capture programs."""
+        jobs = [self._features_fn(tuple(sorted(set(self.content_layers))),
+                                  ch, cw) + ((ch, cw),)]
+        for sh, sw in style_hws:
+            jobs.append(self._style_stats_fn(style_loss, sh, sw) + ((sh, sw),))
+        for key, fn, hw in jobs:
+            ekey = ("exe", key, hw)
+            if ekey in self._fn_cache:
+                continue
+
+            def make(fn=fn, hw=hw):
+                return self._lower_capture(fn, hw).compile()
+
+            self._prefetcher.submit(ekey, make)
 
     def _finalize_w2(self, mean, srm, eps, iters):
         key = ("w2fin", float(eps), int(iters))
@@ -921,8 +986,21 @@ class StyleTransfer:
                 # programs load while the session pays its one-time startup
                 # (weight transfer + first compiles dominate the cold path).
                 # Submission is idempotent, nearest scale first.
+                def style_hws(sc):
+                    out = []
+                    for img in style_images:
+                        if style_size is None:
+                            sw, sh = size_to_fit(
+                                img.size, round(sc * style_scale_fac))
+                        else:
+                            sw, sh = size_to_fit(img.size, style_size)
+                        out.append((sh, sw))
+                    return out
+
                 if optimizer == "adam":
                     self._prefetch_scale(cfg, ch, cw, actual_its)
+                    self._prefetch_capture(ch, cw, style_hws(scale),
+                                           self.style_loss)
                     for nxt in range(scale_idx + 1, len(scales)):
                         cw2, ch2 = self.canvas(
                             content_image.size, scales[nxt], align
@@ -931,6 +1009,14 @@ class StyleTransfer:
                             dataclasses.replace(cfg, **self._size_knobs(ch2, cw2)),
                             ch2, cw2, iterations,
                         )
+                        # Captures are small programs that load in 0.2-5 s:
+                        # one scale ahead is enough, and submitting them all
+                        # up front measurably contends with chunk dispatch
+                        # for the remote-attach tunnel at the small scales.
+                        if nxt == scale_idx + 1:
+                            self._prefetch_capture(
+                                ch2, cw2, style_hws(scales[nxt]),
+                                self.style_loss)
 
                 print(f"Processing content image ({cw}x{ch})...")
                 with _phase_timer(f"targets@{scale}"):
@@ -1049,6 +1135,20 @@ class StyleTransfer:
                 except Exception as err:
                     print(f"Warning: checkpoint write failed: {err}")
         return self.get_image()
+
+
+def tensor_to_image(arr, image_type: str = "pil"):
+    """(H, W, 3) [0,1] float array (host or device) -> PIL / uint16 ndarray
+    (ref get_image semantics, :335-347). Triggers the device fetch when
+    given a device array — callable from a writer thread."""
+    arr = np.clip(np.asarray(arr), 0.0, 1.0)
+    if arr.ndim == 4:
+        arr = arr[0]
+    if image_type.lower() == "pil":
+        return Image.fromarray(np.uint8(np.round(arr * 255.0)))
+    if image_type.lower() == "np_uint16":
+        return np.uint16(np.round(arr * 65535.0))
+    raise ValueError("image_type must be 'pil' or 'np_uint16'")
 
 
 def _snapshot_rng(rng):

@@ -11,6 +11,11 @@ class StubEngine:
     def get_image(self, image_type="pil"):
         return "IMAGE"
 
+    def get_image_device(self):
+        import numpy as np
+
+        return np.zeros((1, 4, 4, 3), np.float32)
+
     def get_image_tensor(self):
         return None
 
