@@ -69,6 +69,39 @@ def content_scaled(x, target, eps: float = 1e-8):
     return scaled_mse(x, target, eps)
 
 
+@jax.custom_vjp
+def srm_outer(u):
+    """``einsum('nhwc,nhwd->ncd', u, u)`` — the second-raw-moment outer
+    product — with a single-pass-precision backward.
+
+    The FORWARD must run ``Precision.HIGH`` (3-pass bf16): the moment feeds
+    the covariance whose Newton-Schulz square root diverges under TPU's
+    default single-pass-bf16 f32 matmuls (PERF.md finding #1). The BACKWARD
+    does not: the cotangent only flows into the image gradient, whose every
+    other segment (conv transposes, pool backwards) is already plain bf16 —
+    a 3-pass gradient einsum buys nothing but MXU time (measured ~1/3 of
+    the 10.9 ms/iter moment-einsum cost at 6 Mpx).
+    """
+    return jnp.einsum(
+        "nhwc,nhwd->ncd", u, u,
+        precision=jax.lax.Precision.HIGH,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _srm_outer_fwd(u):
+    return srm_outer(u), u
+
+
+def _srm_outer_bwd(u, g):
+    # d/du sum(g * (u u^T)) = (g + g^T) u, applied per pixel.
+    gsym = (g + jnp.swapaxes(g, -2, -1)).astype(u.dtype)
+    return (jnp.einsum("ncd,nhwd->nhwc", gsym, u),)
+
+
+srm_outer.defvjp(_srm_outer_fwd, _srm_outer_bwd)
+
+
 def gram_matrix(feats):
     """Gram matrix of NHWC features, normalized by pixel count.
 
@@ -77,12 +110,7 @@ def gram_matrix(feats):
     """
     n, h, w, c = feats.shape
     # Direct (h, w) contraction — see w2_moments for why no reshape.
-    g = jnp.einsum(
-        "nhwc,nhwd->ncd", feats, feats,
-        precision=jax.lax.Precision.HIGH,
-        preferred_element_type=jnp.float32,
-    )
-    return g / jnp.asarray(h * w, jnp.float32)
+    return srm_outer(feats) / jnp.asarray(h * w, jnp.float32)
 
 
 def gram_loss(feats, target_gram, eps: float = 1e-8):
@@ -108,11 +136,7 @@ def w2_moments(feats):
     # Contract (h, w) directly — no (n, h*w, c) reshape: on TPU that reshape
     # materializes a relayout copy of the full-resolution tap (and its VJP
     # another one of the cotangent), ~18 ms/iter at 6 Mpx (PERF.md r2).
-    srm = jnp.einsum(
-        "nhwc,nhwd->ncd", feats, feats,
-        precision=jax.lax.Precision.HIGH,
-        preferred_element_type=jnp.float32,
-    ) / jnp.asarray(h * w, jnp.float32)
+    srm = srm_outer(feats) / jnp.asarray(h * w, jnp.float32)
     return mean, srm
 
 
@@ -128,13 +152,7 @@ def w2_moments_paired(feats):
     a, b = feats[..., :c], feats[..., c:]
     npix = jnp.asarray(h * wp * 2, jnp.float32)
     mean = (jnp.sum(_f32(a), axis=(1, 2)) + jnp.sum(_f32(b), axis=(1, 2))) / npix
-    hi = jax.lax.Precision.HIGH
-    srm = (
-        jnp.einsum("nhwc,nhwd->ncd", a, a, precision=hi,
-                   preferred_element_type=jnp.float32)
-        + jnp.einsum("nhwc,nhwd->ncd", b, b, precision=hi,
-                     preferred_element_type=jnp.float32)
-    ) / npix
+    srm = (srm_outer(a) + srm_outer(b)) / npix
     return mean, srm
 
 
