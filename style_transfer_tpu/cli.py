@@ -280,6 +280,11 @@ def build_parser(stylize_fn):
                    choices=["auto", "on", "off"],
                    help="width-paired conv1_1..relu1_2 layout (full 128-lane "
                         "MXU tiles for the C=64 block; TPU only)")
+    p.add_argument("--transpose-wide", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="optimize landscape canvases internally transposed "
+                        "(exactly-equivalent computation; XLA runs the tall "
+                        "orientation faster — TPU single-chip only)")
     p.add_argument("--align", **arg_info("align"),
                    help="round optimization dims to a multiple (1 = exact "
                         "reference sizing; 8/16 avoids odd pooling cascades "
@@ -388,6 +393,8 @@ def main(argv=None):
         n_bands_w=n_bands_w,
         paired_early={"auto": None, "on": True, "off": False}[
             args.paired_early],
+        transpose_wide={"auto": None, "on": True, "off": False}[
+            args.transpose_wide],
         callback_chunk=args.callback_chunk,
     )
     st.seed(args.random_seed)

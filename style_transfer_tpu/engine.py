@@ -217,6 +217,7 @@ class StyleTransfer:
         n_bands: Optional[int] = None,
         n_bands_w: Optional[int] = None,
         paired_early: Optional[bool] = None,
+        transpose_wide: Optional[bool] = None,
         callback_chunk: int = 50,
     ):
         if devices is None:
@@ -259,6 +260,19 @@ class StyleTransfer:
         self.n_bands = n_bands
         self.n_bands_w = n_bands_w
         self.paired_early = paired_early
+        # Landscape canvases run internally TRANSPOSED (portrait): a 3x3
+        # conv of the transposed image with the spatially-transposed kernel
+        # is exactly the transposed convolution, and every other op in the
+        # objective (pool, replicate pad, TV stencil, moments, Adam/EMA,
+        # clamp) is orientation-equivariant — so the trajectory is the exact
+        # transpose of the landscape one (float reassociation only), but
+        # XLA's conv emitters run the tall orientation measurably faster
+        # (2172x2896 @27 bands: 205.7 ms/iter; 2896x2172 @18: 192.1 — v5e,
+        # PERF.md r3). None = auto (TPU, single mesh, W > H); the transpose
+        # happens once per scale boundary / image fetch, never per step.
+        self.transpose_wide = transpose_wide
+        self._flip = False
+        self._params_t = None
         self.callback_chunk = int(callback_chunk)
 
         # Default layer configuration (Gatys et al. 2015 taps, reference
@@ -293,6 +307,24 @@ class StyleTransfer:
     def seed(self, seed: int):
         self._rng = np.random.RandomState(seed)
 
+    def _t_img(self, x):
+        """Internal <-> external orientation of an NHWC tensor (see
+        ``transpose_wide``; an involution, so it goes both ways)."""
+        return jnp.swapaxes(x, 1, 2) if self._flip else x
+
+    def _step_params(self):
+        """Params as the canvas-side programs consume them: spatially
+        transposed kernels when the run is internally transposed (built
+        once per stylize; conv(x^T, k^T) == conv(x, k)^T exactly)."""
+        if not self._flip:
+            return self.params
+        if self._params_t is None:
+            self._params_t = {
+                k: (jnp.swapaxes(v, 0, 1) if k.endswith("_kernel") else v)
+                for k, v in self.params.items()
+            }
+        return self._params_t
+
     def get_image_tensor(self):
         """Current averaged iterate as (H, W, 3) f32 ndarray in [0, 1].
 
@@ -304,18 +336,21 @@ class StyleTransfer:
             return None
         if self._img_cache_key is not self.average:
             img = np.asarray(jax.device_get(ema_get(self.average)))[0]
+            if self._flip:
+                img = img.transpose(1, 0, 2)
             self._img_cache = np.clip(img, 0.0, 1.0)
             self._img_cache_key = self.average
         return self._img_cache
 
     def get_image_device(self):
         """Device-side snapshot of the averaged iterate, (1, H, W, 3) f32 in
-        [0, 1]. A FRESH buffer (never donated), so another thread may fetch
-        it while the optimization keeps running — the async mid-run saver
-        uses this to keep the device->host transfer off the iteration loop."""
+        [0, 1], in the EXTERNAL orientation. A FRESH buffer (never donated),
+        so another thread may fetch it while the optimization keeps running —
+        the async mid-run saver uses this to keep the device->host transfer
+        off the iteration loop."""
         if self.average is None:
             return None
-        return jnp.clip(ema_get(self.average), 0.0, 1.0)
+        return self._t_img(jnp.clip(ema_get(self.average), 0.0, 1.0))
 
     def get_image(self, image_type: str = "pil"):
         if self.average is None:
@@ -334,7 +369,9 @@ class StyleTransfer:
             self._fn_cache[key] = jax.jit(
                 build_loss_terms_fn(self._last_cfg, self.mesh)
             )
-        out = self._fn_cache[key](self.image, self.params, self._last_consts)
+        out = self._fn_cache[key](
+            self.image, self._step_params(), self._last_consts
+        )
         return {k: float(v) for k, v in jax.device_get(out).items()}
 
     # ------------------------------------------------------------ internals
@@ -526,11 +563,13 @@ class StyleTransfer:
         return key, self._fn_cache[key]
 
     def _features(self, image, layers):
+        """Content-feature capture. ``image`` is in the INTERNAL orientation
+        (callers transpose wide canvases; see ``transpose_wide``)."""
         h, w = np.shape(image)[1:3]
         layers_t = tuple(sorted(set(layers)))
         key, fn = self._features_fn(layers_t, h, w)
         exe = self._capture_exe(key, fn, (h, w))
-        return exe(self.params, jnp.asarray(image, jnp.float32))
+        return exe(self._step_params(), jnp.asarray(image, jnp.float32))
 
     def _style_stats_fn(self, mode: str, h, w):
         """Jitted per-style-image statistics fn: {layer: (mean, srm)} or
@@ -877,6 +916,20 @@ class StyleTransfer:
 
         scales = gen_scales(min_scale, end_scale)
 
+        # Landscape canvases optimize internally transposed (see
+        # ``transpose_wide``): decided ONCE per run from the content aspect,
+        # so every scale shares the orientation and warm-start resizes stay
+        # in one frame. Internal (ih, iw) dims drive state shapes, step
+        # knobs and capture programs; every user-facing surface (canvas
+        # prints, STIterate, get_image, saves) stays in the real frame.
+        c_w, c_h = content_image.size
+        if self.transpose_wide is not None:
+            self._flip = (bool(self.transpose_wide) and c_w > c_h
+                          and self.mesh is None)
+        else:
+            self._flip = self._is_tpu and self.mesh is None and c_w > c_h
+        self._params_t = None
+
         if checkpoint is not None and optimizer != "adam":
             print(
                 "Warning: --checkpoint supports only the Adam optimizer; "
@@ -924,6 +977,14 @@ class StyleTransfer:
                     "--end-scale/--min-scale/--align changed since the "
                     "checkpoint was written"
                 )
+            ck_flip = bool(meta.get("transposed", False))
+            if ck_flip != self._flip:
+                raise ValueError(
+                    "checkpoint was written with internal orientation "
+                    f"transposed={ck_flip} but this run resolves "
+                    f"transposed={self._flip} — was transpose_wide (or the "
+                    "device platform) changed since the checkpoint?"
+                )
             if "rng" in resume_state and "rng_keys" in resume_state:
                 from .utils.checkpoint import unpack_rng_state
 
@@ -934,12 +995,15 @@ class StyleTransfer:
                 f"Resuming from {checkpoint}: scale {start_scale_idx + 1}/"
                 f"{len(scales)}, iteration {resume_state['done_iters']}"
             )
-            self.image = jnp.asarray(resume_state["image"])
+            self.image = jnp.asarray(resume_state["image"])  # internal frame
         else:
             cw, ch = self.canvas(content_image.size, scales[0], align)
-            self.image = self._init_image(
+            # Init in the REAL frame (same RNG draws / pixel values as an
+            # untransposed run), then move to the internal orientation — the
+            # whole trajectory is then the exact transpose.
+            self.image = self._t_img(self._init_image(
                 init, content_image, style_images, style_weights, (ch, cw)
-            )
+            ))
         self.image = shard_image(self.image, self.mesh)
 
         try:
@@ -949,7 +1013,11 @@ class StyleTransfer:
                     continue
                 resuming_here = resume_state is not None and scale_idx == start_scale_idx
                 cw, ch = self.canvas(content_image.size, scale, align)
-                content = jnp.asarray(_pil_to_nhwc(content_image, (cw, ch)))
+                # Internal (device-side) dims: transposed for wide canvases.
+                ih, iw = ((cw, ch) if self._flip else (ch, cw))
+                content = self._t_img(
+                    jnp.asarray(_pil_to_nhwc(content_image, (cw, ch)))
+                )
 
                 if resuming_here:
                     self.average = EMAState(
@@ -957,7 +1025,7 @@ class StyleTransfer:
                         accum=jnp.asarray(resume_state["ema_accum"]),
                     )
                 else:
-                    self.image = jnp.clip(_resize_image(self.image, (ch, cw)), 0.0, 1.0)
+                    self.image = jnp.clip(_resize_image(self.image, (ih, iw)), 0.0, 1.0)
                     self.image = shard_image(self.image, self.mesh)
                     self.average = ema_init(self.image, avg_decay)
 
@@ -975,7 +1043,7 @@ class StyleTransfer:
                     compute_dtype=self.compute_dtype,
                     step_size=step_size,
                     avg_decay=avg_decay,
-                    **self._size_knobs(ch, cw),
+                    **self._size_knobs(ih, iw),
                 )
 
                 actual_its = initial_iterations if scale == scales[0] else iterations
@@ -998,16 +1066,17 @@ class StyleTransfer:
                     return out
 
                 if optimizer == "adam":
-                    self._prefetch_scale(cfg, ch, cw, actual_its)
-                    self._prefetch_capture(ch, cw, style_hws(scale),
+                    self._prefetch_scale(cfg, ih, iw, actual_its)
+                    self._prefetch_capture(ih, iw, style_hws(scale),
                                            self.style_loss)
                     for nxt in range(scale_idx + 1, len(scales)):
                         cw2, ch2 = self.canvas(
                             content_image.size, scales[nxt], align
                         )
+                        ih2, iw2 = ((cw2, ch2) if self._flip else (ch2, cw2))
                         self._prefetch_scale(
-                            dataclasses.replace(cfg, **self._size_knobs(ch2, cw2)),
-                            ch2, cw2, iterations,
+                            dataclasses.replace(cfg, **self._size_knobs(ih2, iw2)),
+                            ih2, iw2, iterations,
                         )
                         # Captures are small programs that load in 0.2-5 s:
                         # one scale ahead is enough, and submitting them all
@@ -1015,7 +1084,7 @@ class StyleTransfer:
                         # for the remote-attach tunnel at the small scales.
                         if nxt == scale_idx + 1:
                             self._prefetch_capture(
-                                ch2, cw2, style_hws(scales[nxt]),
+                                ih2, iw2, style_hws(scales[nxt]),
                                 self.style_loss)
 
                 print(f"Processing content image ({cw}x{ch})...")
@@ -1037,13 +1106,13 @@ class StyleTransfer:
                     elif opt_state is None:
                         opt_state = adam_init(self.image)
                     else:
-                        opt_state = _scale_adam(opt_state, (ch, cw), self.mesh)
+                        opt_state = _scale_adam(opt_state, (ih, iw), self.mesh)
                     state = LoopState(image=self.image, opt=opt_state, ema=self.average)
                 elif optimizer in ("lbfgs", "lbfgs-zoom"):
                     runner, opt_init = self._get_runner(cfg, optimizer)
                     state = LoopState(
                         image=self.image,
-                        opt=opt_init(self.image, self.params, consts),
+                        opt=opt_init(self.image, self._step_params(), consts),
                         ema=self.average,
                     )
                 else:
@@ -1060,14 +1129,15 @@ class StyleTransfer:
                     n = min(scale_chunk, actual_its - done)
                     aot = None
                     if optimizer == "adam":
-                        aot = self._prefetcher.get((cfg, ch, cw, n))
+                        aot = self._prefetcher.get((cfg, ih, iw, n))
                     with _phase_timer(
                         f"{'chunk1' if first_chunk else 'chunk'}@{scale}x{n}"
                     ):
                         if aot is not None:
-                            state, losses = aot(self.params, consts, state)
+                            state, losses = aot(self._step_params(), consts, state)
                         else:
-                            state, losses = runner(self.params, consts, state, n)
+                            state, losses = runner(
+                                self._step_params(), consts, state, n)
                         losses = np.asarray(jax.device_get(losses), np.float64)
                     first_chunk = False
                     # Publish state so callbacks (saves, web preview) see progress.
@@ -1101,7 +1171,8 @@ class StyleTransfer:
                                 checkpoint,
                                 scale_index=scale_idx,
                                 done_iters=done + n,
-                                meta={"w": cw, "h": ch, "scale": scale},
+                                meta={"w": cw, "h": ch, "scale": scale,
+                                      "transposed": self._flip},
                                 optimizer=optimizer,
                                 rng=_snapshot_rng(self._rng),
                                 **snap,

@@ -43,8 +43,8 @@ from ..models.weights import CONV_INDICES, POOL_INDICES
 from . import losses as L
 
 __all__ = [
-    "receptive_halo", "band_bounds", "uniform_band_bounds", "pool_stride",
-    "banded_stats", "banded_forward_cut", "DEFAULT_CUT",
+    "receptive_halo", "band_bounds", "pool_stride", "banded_stats",
+    "banded_forward_cut", "DEFAULT_CUT",
 ]
 
 # Slab starts must align with the pooling grid of the deepest banded layer;
@@ -91,26 +91,6 @@ def band_bounds(h: int, n_bands: int) -> Tuple[int, ...]:
         b = (quanta * k // n_bands) * _QUANTUM
         if b > bounds[-1]:
             bounds.append(b)
-    bounds.append(h)
-    return tuple(bounds)
-
-
-def uniform_band_bounds(h: int, n_bands: int) -> Tuple[int, ...]:
-    """Like :func:`band_bounds` but every INTERIOR band (1..n-2) owns exactly
-    ``(h // 16 // n_bands) * 16`` rows; the remainder splits between the
-    first and last bands (which the stacked-slab path runs unrolled anyway).
-    Stacking batches the identical interior slabs into one tensor, which
-    requires a uniform owned size. Any grid-aligned partition is equally
-    correct — bounds only shape performance."""
-    quanta = h // _QUANTUM
-    if n_bands > quanta:
-        n_bands = max(1, quanta)
-    q = (quanta // n_bands) * _QUANTUM
-    if q == 0 or n_bands < 2:
-        return (0, h)
-    rem_quanta = quanta - n_bands * (q // _QUANTUM)
-    first = q + (rem_quanta // 2) * _QUANTUM
-    bounds = [0] + [first + k * q for k in range(n_bands - 1)]
     bounds.append(h)
     return tuple(bounds)
 
@@ -175,8 +155,6 @@ def banded_stats(
     axis: int = 1,
     paired_last: int = -1,
     n_bands_w: int = 0,
-    stacked: bool = False,
-    stack_group: int = 0,
 ):
     """Accumulate loss statistics over halo-slabs of ``image``.
 
@@ -208,15 +186,13 @@ def banded_stats(
         ``axis == 1``). Squarer slabs keep the paired pool/early
         formulations eligible (their w <= 1536 window) at giant widths
         where single-axis row slabs span the whole image.
-      stacked: batch the (identical-size) interior slabs into ONE early
-        trunk call along the leading dim instead of unrolling a program
-        per band. The first/last bands keep their own calls (their halo is
-        clamped at the true image edge, where the trunk's own padding must
-        apply). Per-band glue — layout transitions, small loop fusions,
-        pool bookkeeping — collapses into one batched op each (measured
-        ~27 unrolled bands cost ~80 ms/iter of sub-TF/s fusions at 6 Mpx).
-        Requires axis == 1, no 2D grid, batch size 1, and >= 2 interior
-        bands; silently falls back to unrolled otherwise.
+
+    Note: batching the identical-size interior slabs into stacked
+    early-trunk calls was built and measured NET SLOWER at every group
+    size (6 Mpx @27 bands: one batch 259 ms/iter, groups of 2/3/6
+    222/234/263, vs 206 unrolled) — the batched call re-enters the
+    giant-tensor tiling regime per-band evaluation exists to escape.
+    Removed under the dead-by-default standard; see PERF.md r3.
 
     Returns:
       (moments, content_acc): moments[layer] = (mean (N,C), srm (N,C,C))
@@ -234,15 +210,7 @@ def banded_stats(
     if halo <= 0:
         halo = receptive_halo(set(early_style) | set(early_content)
                               | {cut_layer})
-    stacked = (stacked and axis == 1 and n_bands_w < 2
-               and image.shape[0] == 1)
-    if stacked:
-        bounds = uniform_band_bounds(ext, n_bands)
-        if len(bounds) - 1 < 4:  # need >= 2 interior bands to batch
-            stacked = False
-            bounds = band_bounds(ext, n_bands)
-    else:
-        bounds = band_bounds(ext, n_bands)
+    bounds = band_bounds(ext, n_bands)
 
     ax2 = 3 - axis  # the secondary banding axis (2D grid when n_bands_w >= 2)
     ext2 = image.shape[ax2]
@@ -295,55 +263,8 @@ def banded_stats(
 
     all_early = sorted(set(early_style) | set(early_content) | {cut_layer})
 
-    cut_mid = []
-    band_ks = range(len(bounds) - 1)
-    if stacked:
-        nb = len(bounds) - 1
-        band_ks = (0, nb - 1)  # edge bands run unrolled (true-edge padding)
-        q = bounds[2] - bounds[1]  # uniform interior owned rows
-        group = stack_group if stack_group >= 1 else nb - 2
-        for g0 in range(1, nb - 1, group):
-            g1 = min(g0 + group, nb - 1)
-            sg = bounds[g0]
-            mid = jnp.concatenate(
-                [image[:, bounds[k] - halo:bounds[k + 1] + halo]
-                 for k in range(g0, g1)], axis=0)
-            feats = early_fn(mid)
-            for layer in all_early:
-                p = pool_stride(layer)
-                fs, cnt = halo // p, q // p
-                v = feats[layer][:, fs:fs + cnt]
-                if layer in early_style:
-                    if layer <= paired_last:
-                        c = v.shape[-1] // 2
-                        halves = (v[..., :c], v[..., c:])
-                    else:
-                        halves = (v,)
-                    for u in halves:
-                        _acc(sums, layer,
-                             jnp.sum(u.astype(jnp.float32),
-                                     axis=(0, 1, 2))[None])
-                        _acc(outers, layer,
-                             jnp.sum(L.srm_outer(u), axis=0)[None])
-                if layer in early_content:
-                    u = v
-                    if layer <= paired_last:
-                        from ..models.vgg import unpair_width
-
-                        u = unpair_width(u)
-                    b_, h_, w_, c_ = u.shape
-                    tgt = content_targets[layer][:, sg // p:sg // p + b_ * h_]
-                    diff = (u.astype(jnp.float32)
-                            - tgt.reshape(b_, h_, w_, c_).astype(jnp.float32))
-                    _acc(content_sse, layer, jnp.sum(jnp.square(diff)))
-                    _acc(content_abs, layer, jnp.sum(jnp.abs(diff)))
-                    content_cnt[layer] = content_cnt.get(layer, 0) + diff.size
-                if layer == cut_layer and late_fn is not None:
-                    b_, h_, w_, c_ = v.shape
-                    cut_mid.append(v.reshape(1, b_ * h_, w_, c_))
-
     cut_rows = []
-    for k in band_ks:
+    for k in range(len(bounds) - 1):
         s, e = bounds[k], bounds[k + 1]
         s2 = max(0, s - halo)
         e2 = min(ext, e + halo)
@@ -375,8 +296,6 @@ def banded_stats(
                 if len(cut_cols) > 1 else cut_cols[0]
             )
 
-    if cut_mid and late_fn is not None:
-        cut_rows[1:1] = cut_mid  # [first, interior batches..., last]
     if late_fn is not None:
         feats2 = late_fn(jnp.concatenate(cut_rows, axis=axis)
                          if len(cut_rows) > 1 else cut_rows[0])

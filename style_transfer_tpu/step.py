@@ -91,14 +91,6 @@ class StepConfig:
     # halo-slab grid): squarer slabs keep the paired pool/early trunk
     # formulations eligible at giant widths (ops/banded.py).
     n_bands_w: int = 0
-    # Batch the identical-size interior slabs into batched early-trunk calls
-    # (ops/banded.banded_stats ``stacked``) instead of unrolling a program
-    # per band — collapses the per-band glue (sub-TF/s loop fusions, layout
-    # copies) into batched ops. Row bands only; needs >= 4 bands.
-    # band_stack_group bounds the slabs per batch (0 = all interiors in one
-    # call; small groups keep each call out of XLA's giant-tensor regime).
-    band_stacked: bool = False
-    band_stack_group: int = 0
     # Conv layers to run as explicit im2col matmuls (vgg._conv_im2col):
     # sidesteps XLA's conv-emitter layout pathologies, e.g. conv3_1 (10)
     # right after the pool2 cut at print sizes.
@@ -268,8 +260,6 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 axis=axis,
                 paired_last=PAIRED_LAST if cfg.paired_early else -1,
                 n_bands_w=cfg.n_bands_w,
-                stacked=cfg.band_stacked,
-                stack_group=cfg.band_stack_group,
             )
             tv = L.tv_loss(image)
         else:

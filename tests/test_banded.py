@@ -283,66 +283,17 @@ def test_engine_features_banded_matches_monolithic(vgg_params):
     np.testing.assert_allclose(band[22], mono[22], rtol=3e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("paired,content_layers", [
-    (False, (22,)),
-    (True, (22,)),
-    (False, (8, 22)),  # early content tap rides the stacked batch
-])
-def test_banded_stacked_matches_monolithic(paired, content_layers):
-    """band_stacked batches the interior slabs into one early-trunk call;
-    loss and image gradient must equal the monolithic evaluation (same
-    crop/halo argument; float reassociation only)."""
-    rng = np.random.RandomState(3)
-    h, w = 256, 96
-    params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
-    image = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
-    content = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
-    style = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
-    base = StepConfig(compute_dtype=None, content_layers=content_layers,
-                      content_weights=(0.01,) * len(content_layers))
-    consts = _consts(params, base, content, style)
-    unrolled = StepConfig(compute_dtype=None, n_bands=5,
-                          paired_early=paired, content_layers=content_layers,
-                          content_weights=(0.01,) * len(content_layers))
-    stacked = StepConfig(compute_dtype=None, n_bands=5, band_stacked=True,
-                         paired_early=paired, content_layers=content_layers,
-                         content_weights=(0.01,) * len(content_layers))
-    lm, gm = jax.value_and_grad(build_loss_fn(base))(image, params, consts)
-    lu, gu = jax.value_and_grad(build_loss_fn(unrolled))(image, params, consts)
-    lb, gb = jax.value_and_grad(build_loss_fn(stacked))(image, params, consts)
-    np.testing.assert_allclose(lb, lm, rtol=2e-5)
-    if paired:
-        # vs monolithic, the paired pool splits exact-tie gradients 50/50
-        # where select_and_scatter picks one winner (pre-existing, documented
-        # in ops/pooling.py) — so the gradient oracle for the STACKING
-        # transformation is the unrolled paired-banded run, which stacking
-        # must reproduce up to einsum reassociation.
-        np.testing.assert_allclose(gb, gu, rtol=5e-4, atol=1e-7)
-    else:
-        np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
+def test_srm_outer_custom_vjp():
+    """losses.srm_outer: HIGH-precision forward, single-pass backward —
+    values and gradients must match the plain einsum (exactly on CPU,
+    where precision flags are no-ops)."""
+    from style_transfer_tpu.ops.losses import srm_outer
 
-
-def test_banded_stacked_fallback_few_bands():
-    """< 4 bands leaves no interior pair to batch: stacked must silently
-    fall back to the unrolled path and still match."""
-    rng = np.random.RandomState(4)
-    params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
-    image = jnp.asarray(rng.rand(1, 128, 96, 3).astype(np.float32))
-    content = jnp.asarray(rng.rand(1, 128, 96, 3).astype(np.float32))
-    style = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
-    base = StepConfig(compute_dtype=None)
-    consts = _consts(params, base, content, style)
-    stacked = StepConfig(compute_dtype=None, n_bands=2, band_stacked=True)
-    lm = build_loss_fn(base)(image, params, consts)
-    lb = build_loss_fn(stacked)(image, params, consts)
-    np.testing.assert_allclose(lb, lm, rtol=2e-5)
-
-
-def test_uniform_band_bounds():
-    from style_transfer_tpu.ops.banded import uniform_band_bounds
-
-    b = uniform_band_bounds(2172, 27)
-    assert b[0] == 0 and b[-1] == 2172
-    owned = [b[i + 1] - b[i] for i in range(len(b) - 2)]
-    assert all(o == owned[0] for o in owned)  # uniform interiors
-    assert all(x % 16 == 0 for x in b[1:-1])  # grid-aligned
+    rng = np.random.RandomState(0)
+    u = jnp.asarray(rng.normal(size=(2, 7, 5, 4)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, 4, 4)).astype(np.float32))
+    ref = lambda x: jnp.einsum("nhwc,nhwd->ncd", x, x)
+    np.testing.assert_allclose(srm_outer(u), ref(u), rtol=1e-6)
+    gn = jax.grad(lambda x: jnp.sum(srm_outer(x) * g))(u)
+    gr = jax.grad(lambda x: jnp.sum(ref(x) * g))(u)
+    np.testing.assert_allclose(gn, gr, rtol=1e-5, atol=1e-6)

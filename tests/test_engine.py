@@ -194,3 +194,50 @@ def test_banded_engine_matches_monolithic(content_pil, style_pil):
         outs.append(np.asarray(img, dtype=np.float32))
     # bit-exact is too strict across reassociated reductions; 1 uint8 step
     assert np.abs(outs[0] - outs[1]).max() <= 1.0
+
+
+def test_transpose_wide_matches_untransposed(content_pil, style_pil):
+    """transpose_wide runs landscape canvases internally transposed with
+    spatially-transposed kernels — an exactly-equivalent computation. After
+    ONE iteration the outputs must agree to float-reassociation precision
+    (measured 2.6e-6; im2col tap order flips with orientation). Over many
+    iterations the reassociation noise is chaotically amplified by Adam's
+    1/sqrt(nu) (exactly as any reduction-order change is), so the pyramid
+    check only asserts the images stay statistically identical."""
+    assert content_pil.size[0] > content_pil.size[1]
+
+    def run(flip, iters, end_scale):
+        st = make_engine(transpose_wide=flip)
+        st.seed(0)
+        img = st.stylize(
+            content_pil, [style_pil], min_scale=64, end_scale=end_scale,
+            iterations=iters, initial_iterations=iters,
+        )
+        assert st._flip is flip
+        return np.asarray(img, dtype=np.float32), img.size
+
+    a1, size_a = run(False, 1, 64)
+    b1, size_b = run(True, 1, 64)
+    assert size_a == size_b  # external frame unchanged
+    assert np.abs(a1 - b1).max() <= 1.0  # one uint8 step
+
+    a, _ = run(False, 15, 96)
+    b, _ = run(True, 15, 96)
+    assert np.abs(a - b).mean() <= 2.0  # chaos-tolerant: bulk identical
+
+
+def test_transpose_wide_checkpoint_flag_mismatch(tmp_path, content_pil,
+                                                 style_pil):
+    """Resuming a transposed-run checkpoint with transpose_wide off must be
+    refused (state arrays live in the internal orientation)."""
+    ckpt = str(tmp_path / "state.npz")
+    st = make_engine(transpose_wide=True)
+    st.seed(0)
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               iterations=10, initial_iterations=10,
+               checkpoint=ckpt, checkpoint_every=5)
+    st2 = make_engine(transpose_wide=False)
+    with pytest.raises(ValueError, match="transposed"):
+        st2.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+                    iterations=10, initial_iterations=10,
+                    checkpoint=ckpt, resume=True)

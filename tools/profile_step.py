@@ -27,10 +27,9 @@ def _build(h, w, maxpool, **cfg_kw):
     from style_transfer_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
-    return g._build(
-        n_h=h, n_w=w, compute_dtype="bfloat16", sqrtm_impl="pallas",
-        maxpool_impl=maxpool, **cfg_kw,
-    )
+    cfg_kw.setdefault("compute_dtype", "bfloat16")
+    cfg_kw.setdefault("sqrtm_impl", "pallas")
+    return g._build(n_h=h, n_w=w, maxpool_impl=maxpool, **cfg_kw)
 
 
 def time_step(h, w, maxpool="auto", iters=20, reps=3, **cfg_kw):
