@@ -68,7 +68,7 @@ def main():
 
     enable_persistent_cache()
     compute_dtype = "bfloat16" if dev.platform == "tpu" else None
-    sqrtm_impl = "pallas" if dev.platform == "tpu" else "xla"
+    sqrtm_impl = "xla"  # engine 'auto' (r3: fwd-only XLA NS edges the kernel)
     maxpool_impl = "auto" if dev.platform == "tpu" else "xla"
     im2col = (10, 19, 28) if dev.platform == "tpu" else ()  # engine default @512px
     paired = dev.platform == "tpu"  # engine default @512px (W even, <= 2048)

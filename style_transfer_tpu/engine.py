@@ -247,7 +247,15 @@ class StyleTransfer:
         self.style_loss = style_loss
         self.content_loss = content_loss
         if sqrtm_impl == "auto":
-            sqrtm_impl = "pallas" if self.devices[0].platform == "tpu" else "xla"
+            # The VMEM-resident Pallas NS chains won ~6% of the 512px step
+            # in r2, when the W2 backward ran the iterative Lyapunov chain.
+            # The r3 trace-VJP default deleted that backward, and forward-
+            # only XLA fori_loop NS (native HIGH precision) now edges the
+            # kernel's emulated bf16x3 (512px A/B: xla 6.19-6.27 ms/iter vs
+            # pallas 6.26-6.36) — so 'auto' is plain XLA everywhere and the
+            # kernel stays as the opt-in 'pallas' (used by --w2-grad lyap
+            # benchmarking and as Mosaic infrastructure).
+            sqrtm_impl = "xla"
         self.sqrtm_impl = sqrtm_impl
         # 'trace': analytic A^{-1/2}/2 VJP for the W2 sqrt term (exact, no
         # Lyapunov backward chain — see ops/sqrtm.trace_sqrtm_ns); 'lyap':
@@ -404,6 +412,7 @@ class StyleTransfer:
     _BAND_SLAB_PX = 340_000
     _BAND_SLAB_PX_WIDE = 235_000  # banded-axis width > 2400
     _BAND_WIDE_W = 2400
+    _GRID_SLAB_PX = 175_000  # per-slab target when the 2D grid is active
     # NOTE: the fused Pallas early-trunk kernel (r2's ops/pallas/trunk.py)
     # was REMOVED in r3 under the dead-by-default standard: it never beat
     # the banded-XLA step end-to-end, and a remote-toolchain update then
@@ -414,20 +423,22 @@ class StyleTransfer:
         # Width-paired conv1_1..relu1_2 (vgg paired_early): even width and
         # single-mesh only. Measured v5e (PERF.md "paired early trunk"):
         # wins at every scale up to W=2048 (512px -16%, 1024x768 -26%,
-        # 1448x1086 -19%, 2048x1536 -21%) and is within noise of the tuned
-        # unpaired banding at giant widths (portrait 2172-wide: +1%;
-        # landscape 2896-wide @27 bands: +2%) — gate at W <= 2048.
+        # 1448x1086 -19%, 2048x1536 -21%). At giant widths FULL-width
+        # paired slabs are a wash (+1-2%), but a 2D slab grid
+        # (see _n_bands_w) halves the slab width into the paired-eligible
+        # window, where pairing wins big (2896x2172 @18x2: paired 176.1 vs
+        # unpaired 235.0 ms/iter, r3) — so pairing engages whenever W fits
+        # OR the grid splits W.
         if self.paired_early is not None:
             # Explicit opt-in still honors the hard constraints (even
             # width, single mesh).
             return (bool(self.paired_early) and w % 2 == 0
                     and self.mesh is None)
-        del h
         return (
             self._is_tpu
             and self.mesh is None
             and w % 2 == 0
-            and w <= 2048
+            and (w <= 2048 or self._n_bands_w(h, w) >= 2)
         )
 
     def _size_knobs(self, h, w) -> dict:
@@ -460,6 +471,25 @@ class StyleTransfer:
             return ()
         return (10, 19, 28) if h * w <= 4_000_000 else (10, 28)
 
+    def _grid_cols(self, h, w) -> int:
+        """Auto column count of the 2D slab grid (0 = row bands only).
+
+        A second (column) banding level engages wherever narrower slabs
+        keep winning: the column split pulls every slab into the
+        128-lane-paired conv1_2/pool window. Measured v5e (r3, paired):
+        2896x2172 18x2 176.1 vs 192.1 best single-axis; 2048x1536 9x2 77.8
+        vs 85.0; 1448x1086 5x2 38.3 vs 40.8; 1024x768 4x2 LOSES (18.8 vs
+        18.0) — floor at w > 1000. Needs even W (paired constraint) and
+        print-size row banding.
+        """
+        if not self._is_tpu or self.mesh is not None:
+            return 0
+        if self.n_bands_w is not None:
+            return int(self.n_bands_w)
+        if h * w >= self._BAND_MIN_PX and w > 1000 and w % 2 == 0:
+            return max(2, -(-w // 1500))
+        return 0
+
     def _n_bands(self, h, w) -> int:
         if not self._is_tpu or self.mesh is not None:
             return 0  # sharding already splits tensors below the threshold
@@ -469,16 +499,22 @@ class StyleTransfer:
             return 0
         if h * w < self._BAND_MIN_PX:
             return 2
+        cols = self._grid_cols(h, w)
+        if cols >= 2:
+            # Grid slabs: ~175k-px target counting the column split
+            # (r3 sweep at 2896x2172: 18x2 176.1 / 19x2 178.8 / 14x2 180.1
+            # / 22x2 183.0).
+            return min(max(4, round(h * w / (cols * self._GRID_SLAB_PX))),
+                       h // 16)
         slab = (self._BAND_SLAB_PX_WIDE if w > self._BAND_WIDE_W
                 else self._BAND_SLAB_PX)
         return min(max(4, round(h * w / slab)), h // 16)
 
     def _n_bands_w(self, h, w) -> int:
-        if not self._is_tpu or self.mesh is not None:
-            return 0
-        if self.n_bands_w is not None:
-            return int(self.n_bands_w)
-        return 0  # auto: row bands only (2D grid is an explicit knob)
+        cols = self._grid_cols(h, w)
+        # _grid_cols already requires h*w >= _BAND_MIN_PX, where _n_bands
+        # always returns >= 4 — row banding is active whenever cols >= 2.
+        return cols if cols >= 2 else 0
 
     def _auto_remat(self, h, w) -> bool:
         if self.remat is not None:

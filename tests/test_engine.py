@@ -241,3 +241,27 @@ def test_transpose_wide_checkpoint_flag_mismatch(tmp_path, content_pil,
         st2.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
                     iterations=10, initial_iterations=10,
                     checkpoint=ckpt, resume=True)
+
+
+def test_auto_knobs_giant_portrait():
+    """The TPU auto knobs at the internal (portrait) giant-scale canvas:
+    2D slab grid + paired early trunk (measured 176.1 ms/iter vs 192.1 for
+    the best single-axis config, v5e r3), 18 row bands (340k-px slabs)."""
+    st = make_engine()
+    st._is_tpu = True  # knob resolution only; nothing runs on device here
+    k = st._size_knobs(2896, 2172)
+    assert k["n_bands"] == 18  # ~175k-px grid-slab target
+    assert k["n_bands_w"] == 2
+    assert k["paired_early"] is True
+    # Mid-scale canvas: the grid keeps winning down to w > 1000
+    # (2048x1536 9x2: 77.8 vs 85.0 ms/iter; 1024x768 grid loses).
+    k2 = st._size_knobs(2048, 1536)
+    assert (k2["n_bands"], k2["n_bands_w"]) == (9, 2)
+    assert k2["paired_early"] is True
+    k4 = st._size_knobs(1024, 768)
+    assert k4["n_bands_w"] == 0
+    assert k4["paired_early"] is True
+    # Odd width: the paired constraint blocks both pairing and the grid.
+    k3 = st._size_knobs(2896, 2171)
+    assert k3["n_bands_w"] == 0
+    assert k3["paired_early"] is False

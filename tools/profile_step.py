@@ -28,7 +28,7 @@ def _build(h, w, maxpool, **cfg_kw):
 
     enable_persistent_cache()
     cfg_kw.setdefault("compute_dtype", "bfloat16")
-    cfg_kw.setdefault("sqrtm_impl", "pallas")
+    cfg_kw.setdefault("sqrtm_impl", "xla")
     return g._build(n_h=h, n_w=w, maxpool_impl=maxpool, **cfg_kw)
 
 
