@@ -168,7 +168,12 @@ class WebInterface:
 
         self.host = host
         self.port = port
-        self.q = mp.Queue()
+        # Bounded queue: backpressure comes from put_nowait raising Full, not
+        # from qsize() — mp.Queue.qsize raises NotImplementedError on macOS
+        # (sem_getvalue is unimplemented there), the exact platform
+        # cli.fix_start_method exists for. Control events ('done'/'stop')
+        # use blocking puts so they are never dropped.
+        self.q = mp.Queue(maxsize=max_queue)
         self.max_queue = max_queue
         print(f"Starting web interface at http://{host}:{port}/")
         self.process = mp.Process(
@@ -183,22 +188,29 @@ class WebInterface:
         Backpressure: if the preview process is behind, drop frames rather
         than stall the optimization loop or grow the queue unboundedly.
         """
-        if self.q.qsize() >= self.max_queue:
-            return
         try:
             self.q.put_nowait(("iterate", asdict(iterate), _to_uint8(image)))
         except queue_mod.Full:
             pass
 
     def put_done(self):
-        self.q.put(("done",))
+        # Control events must not hang on a full (stalled-child) queue:
+        # bounded blocking, then give up — an unresponsive child is torn
+        # down by close()'s terminate path anyway.
+        try:
+            self.q.put(("done",), timeout=5)
+        except queue_mod.Full:
+            pass
 
     def close(self):
         if self._closed:
             return
         self._closed = True
         try:
-            self.q.put(("stop",))
+            try:
+                self.q.put(("stop",), timeout=5)
+            except queue_mod.Full:
+                pass
             self.process.join(12)
         finally:
             if self.process.is_alive():

@@ -96,3 +96,25 @@ def test_backpressure_drops_frames():
             wi.put_iterate(it, img)
     finally:
         wi.close()
+
+
+def test_backpressure_without_qsize():
+    """macOS regression guard: mp.Queue.qsize raises NotImplementedError
+    there (sem_getvalue is unimplemented), so the backpressure path must
+    never call it — frames drop via the bounded queue's put_nowait/Full
+    instead (ref web_interface.py:44,130-131 is the capability anchor)."""
+
+    def qsize_raises():
+        raise NotImplementedError("qsize unsupported (macOS semantics)")
+
+    port = free_port()
+    wi = WebInterface("127.0.0.1", port, max_queue=2)
+    try:
+        wi.q.qsize = qsize_raises  # instance-attr shadow, like macOS
+        img = np.zeros((8, 8, 3), np.float32)
+        it = STIterate(w=8, h=8, i=1, i_max=1, loss=0.0, time=0.0, gpu_ram=0)
+        for _ in range(50):  # must not block, raise, or touch qsize
+            wi.put_iterate(it, img)
+        wi.put_done()
+    finally:
+        wi.close()
