@@ -63,6 +63,19 @@ def content_files(tmp_path):
     return c, s
 
 
+def test_main_end_to_end_proof(tmp_path, content_files):
+    """--proof CMYK soft-proofing runs the full src -> CMYK -> sRGB load
+    path (ref cli.py:41-43) with the committed hand-built CMYK fixture."""
+    content, style = content_files
+    out = tmp_path / "out.png"
+    proof = __file__.rsplit("/", 1)[0] + "/golden/naive_cmyk.icc"
+    main([str(content), str(style), "-o", str(out), "--proof", proof,
+          "--min-scale", "64", "--end-scale", "64", "-i", "2", "-ii", "2",
+          "--callback-chunk", "2"])
+    assert out.is_file()
+    assert Image.open(out).size == (64, 48)
+
+
 def test_main_end_to_end_png(tmp_path, content_files):
     content, style = content_files
     out = tmp_path / "out.png"

@@ -87,6 +87,43 @@ def test_load_image_with_foreign_profile(tmp_path):
     assert out.mode == "RGB"
 
 
+CMYK_ICC = __file__.rsplit("/", 1)[0] + "/golden/naive_cmyk.icc"
+
+
+def test_proof_cmyk_roundtrip(tmp_path):
+    """--proof soft-proofing (ref cli.py:41-43): load converts
+    src -> CMYK (proof profile) -> sRGB. Fixture: tests/golden/naive_cmyk.icc
+    (hand-built ICC v2 lut16 profile, tools/make_cmyk_profile.py)."""
+    p = tmp_path / "x.png"
+    # Mid-gamut colors: safely inside the naive CMYK gamut, away from the
+    # GCR max() kink where trilinear CLUT interpolation error concentrates.
+    colors = [(200, 30, 90), (80, 180, 120), (32, 32, 32), (250, 250, 250)]
+    img = Image.new("RGB", (2, 2))
+    img.putdata(colors)
+    img.save(p)
+    out = load_image(p, proof_prof=CMYK_ICC)
+    assert out.mode == "RGB" and out.size == (2, 2)
+    got = np.asarray(out, np.int32)
+    want = np.asarray(img, np.int32)
+    # The naive ink model is smooth and (for in-gamut colors) nearly the
+    # identity round trip; CLUT interpolation + 8-bit quantization leave
+    # single-digit deltas. A broken profile or a skipped conversion would
+    # blow far past this (or return the input bit-exactly — also checked:
+    # the round trip must actually perturb something).
+    assert np.abs(got - want).max() <= 10
+    assert np.abs(got - want).max() >= 1
+
+
+def test_proof_cmyk_gamut_compression(tmp_path):
+    """Out-of-CMYK-gamut saturated colors must come back visibly compressed
+    (that is what soft-proofing is for) while staying recognizably hued."""
+    p = tmp_path / "sat.png"
+    img = Image.new("RGB", (1, 1), (255, 0, 0))
+    img.save(p)
+    out = np.asarray(load_image(p, proof_prof=CMYK_ICC), np.int32)[0, 0]
+    assert out[0] > 150 and out[1] < 100 and out[2] < 100  # still red
+
+
 def test_save_image_dispatch(tmp_path):
     save_image(tmp_path / "a.png", Image.new("RGB", (4, 4)))
     save_image(tmp_path / "a.tif", np.zeros((4, 4, 3), np.uint16))
