@@ -64,19 +64,19 @@ def main():
     print(f"bench device: {dev} ({dev.platform})", file=sys.stderr)
 
     import __graft_entry__ as g
+    from style_transfer_tpu.engine import auto_size_knobs
     from style_transfer_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
-    compute_dtype = "bfloat16" if dev.platform == "tpu" else None
+    is_tpu = dev.platform == "tpu"
+    compute_dtype = "bfloat16" if is_tpu else None
     sqrtm_impl = "xla"  # engine 'auto' (r3: fwd-only XLA NS edges the kernel)
-    maxpool_impl = "auto" if dev.platform == "tpu" else "xla"
-    im2col = (10, 19, 28) if dev.platform == "tpu" else ()  # engine default @512px
-    paired = dev.platform == "tpu"  # engine default @512px (W even, <= 2048)
-    bands = 2 if dev.platform == "tpu" else 0  # engine default @262k px
+    # The engine's own auto-resolved per-size knobs (single source of truth;
+    # hand-mirrored values here silently drift when a threshold changes).
+    knobs = auto_size_knobs(SIZE, SIZE, is_tpu=is_tpu)
     runner, params, consts, state = g._build(
         n_h=SIZE, n_w=SIZE, compute_dtype=compute_dtype, sqrtm_impl=sqrtm_impl,
-        maxpool_impl=maxpool_impl, im2col_layers=im2col, paired_early=paired,
-        n_bands=bands,
+        **knobs,
     )
 
     # Warmup: compile + one chunk. Synchronize via device_get — on some

@@ -22,7 +22,7 @@ import os
 import threading
 import time
 from pathlib import Path
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +54,7 @@ from .utils.scales import (
 )
 from .utils.trace import STIterate, peak_device_ram
 
-__all__ = ["StyleTransfer"]
+__all__ = ["StyleTransfer", "auto_size_knobs"]
 
 _DEBUG_TIMING = bool(os.environ.get("STT_DEBUG_TIMING"))
 
@@ -105,6 +105,197 @@ def _resolve_device(name: str):
     platform, _, idx = name.partition(":")
     devs = jax.devices(platform)
     return devs[int(idx)] if idx else devs[0]
+
+
+# --------------------------------------------------- auto knob resolution
+#
+# Module-level (deviceless) so bench.py and the tools measure exactly the
+# configuration the engine ships: hand-mirrored knob defaults in the
+# benchmark silently drift when a threshold here changes (VERDICT r3).
+# All thresholds are v5e measurements; see the per-knob comments and
+# PERF.md for the numbers behind them.
+
+# Hybrid banding (ops/banded.py) engages where XLA's giant-tensor conv
+# tiling dominates. Measured on v5e: full-trunk banding LOSES at
+# 2896x2172 (80 px halo recompute, 317-380 ms vs 286 monolithic); the
+# pool2-cut hybrid WINS from ~0.8 Mpx up. A round-2 band-count sweep
+# found ~340k-px slabs optimal with a floor of 4 bands — 2896x2172:
+# 191.6 ms @18 (vs 217 @12); 2048x1536: 112.3 @9; 1448x1086: 56.6 @5;
+# 1024x768: 26.3 @4; 724x543 stays monolithic. GIANT-width canvases
+# (the reference-aspect 2172x2896 landscape) want smaller ~235k slabs:
+# 207.3 ms @27 rows (vs 233.8 @18); paired/column variants measured
+# within noise of it (209-215) — see PERF.md "landscape giant scale".
+# BELOW the 700k threshold a light 2-band split still wins ~4% down to
+# ~150k px (543x724: 10.19 -> 9.81; 384x512: 6.11 -> 5.88; 512x512:
+# 7.43 -> 7.21) and loses below it (272x362: 3.78 -> 4.04); the >=4
+# floor above 700k re-confirmed under paired (768x1024: 18.44 @4 vs
+# 18.85 @3, 19.48 @2).
+_BAND_MIN_PX = 700_000
+_BAND_LIGHT_MIN_PX = 150_000  # 2-band window below _BAND_MIN_PX
+_BAND_SLAB_PX = 340_000
+_BAND_SLAB_PX_WIDE = 235_000  # banded-axis width > 2400
+_BAND_WIDE_W = 2400
+_GRID_SLAB_PX = 175_000  # per-slab target when the 2D grid is active
+# NOTE: the fused Pallas early-trunk kernel (r2's ops/pallas/trunk.py)
+# was REMOVED in r3 under the dead-by-default standard: it never beat
+# the banded-XLA step end-to-end, and a remote-toolchain update then
+# regressed its forward ~4x and broke its backward compile outright
+# (PERF.md "Pallas early trunk postmortem").
+
+
+def auto_size_knobs(
+    h: int,
+    w: int,
+    *,
+    is_tpu: bool,
+    meshed: bool = False,
+    mesh_shape: Optional[Tuple[int, int]] = None,
+    n_bands: Optional[int] = None,
+    n_bands_w: Optional[int] = None,
+    paired_early: Optional[bool] = None,
+    remat: Optional[bool] = None,
+) -> dict:
+    """All scale-dependent StepConfig knobs for an (h, w) INTERNAL canvas.
+
+    Single source of truth for the engine's per-scale cfg construction, the
+    AOT prefetch of upcoming scales, and bench.py/tools (the prefetch cache
+    is keyed on the full cfg, so drift between call sites silently turns
+    every prefetch into a cache miss; drift in bench.py silently benchmarks
+    a non-default config). ``None`` knob arguments mean auto-resolve;
+    explicit values are honored subject to hard constraints (even width,
+    single mesh for pairing).
+
+    With a mesh (``meshed`` + a ``mesh_shape`` of (rows, cols) whose blocks
+    divide (h, w) on the 16-px band quantum), the banding/paired knobs are
+    resolved for the PER-SHARD block size and returned with
+    ``shard_bands=True`` — the step then runs the early trunk shard-locally
+    under shard_map with exactly the single-chip configuration each shard's
+    size would get (parallel/shard_early.py; VERDICT r3 #1). Non-divisible
+    canvases (small pyramid scales) fall back to the plain GSPMD step.
+    """
+    if meshed and mesh_shape is not None:
+        rows, cols = mesh_shape
+        if (rows * cols > 1 and h % (16 * rows) == 0
+                and w % (16 * cols) == 0):
+            local = auto_size_knobs(
+                h // rows, w // cols, is_tpu=is_tpu, meshed=False,
+                n_bands=n_bands, n_bands_w=n_bands_w,
+                paired_early=paired_early, remat=remat,
+            )
+            if local["n_bands"] >= 2:
+                return dict(local, shard_bands=True)
+        # Shard blocks below the banding threshold (or non-divisible dims):
+        # plain GSPMD already splits the tensors small; fall through.
+
+    def maxpool_impl() -> str:
+        # 'auto' resolves per pool inside the trunk: 'paired' (H-pair max +
+        # lane-merged W-pair max) beats select_and_scatter below ~750k px,
+        # but its (W,C)->(W/2,2C) relayout loses on giant tensors — at print
+        # sizes the early pools pick 'xla' and the deep pools 'paired'.
+        return "auto" if is_tpu else "xla"
+
+    def im2col_layers() -> tuple:
+        # conv3_1 / conv5_1 (torchvision 10 / 28) as explicit im2col
+        # matmuls: removes the conv-emitter T(2,128) layout complex on the
+        # first conv after a pooling cut (512px: 105.8 -> 111 it/s;
+        # 2896x2172 banded: 245 -> 236 ms/iter; 1448px: 74.8 -> 72.5).
+        # conv4_1 (19) joins below 4 Mpx — the emitter gives it the same
+        # pathological layout at e.g. 2048x1536 (26 TF/s, +4.7 ms/iter r2),
+        # and im2col also wins at 1448 (-1.5) and 512 (-0.3) but loses at
+        # 2896 (+2.9). TPU-only (XLA's CPU conv is fine).
+        if not is_tpu:
+            return ()
+        return (10, 19, 28) if h * w <= 4_000_000 else (10, 28)
+
+    def grid_cols() -> int:
+        # Auto column count of the 2D slab grid (0 = row bands only). A
+        # second (column) banding level engages wherever narrower slabs
+        # keep winning: the column split pulls every slab into the
+        # 128-lane-paired conv1_2/pool window. Measured v5e (r3, paired):
+        # 2896x2172 18x2 176.1 vs 192.1 best single-axis; 2048x1536 9x2
+        # 77.8 vs 85.0; 1448x1086 5x2 38.3 vs 40.8; 1024x768 4x2 LOSES
+        # (18.8 vs 18.0) — floor at w > 1000. Needs even W (paired
+        # constraint) and print-size row banding.
+        if not is_tpu or meshed:
+            return 0
+        if n_bands_w is not None:
+            return int(n_bands_w)
+        if n_bands is not None:
+            # An explicit row-band count ('--bands 27' or '--bands off')
+            # keeps the user's configuration: silently adding a column
+            # split would change the slab economics the user pinned (and
+            # with n_bands=0 there is no row banding for a grid to ride).
+            return 0
+        if h * w >= _BAND_MIN_PX and w > 1000 and w % 2 == 0:
+            return max(2, -(-w // 1500))
+        return 0
+
+    def bands() -> int:
+        if not is_tpu or meshed:
+            return 0  # sharding already splits tensors below the threshold
+        if n_bands is not None:
+            return int(n_bands)
+        if h * w < _BAND_LIGHT_MIN_PX:
+            return 0
+        if h * w < _BAND_MIN_PX:
+            return 2
+        cols = grid_cols()
+        if cols >= 2:
+            # Grid slabs: ~175k-px target counting the column split
+            # (r3 sweep at 2896x2172: 18x2 176.1 / 19x2 178.8 / 14x2 180.1
+            # / 22x2 183.0).
+            return min(max(4, round(h * w / (cols * _GRID_SLAB_PX))),
+                       h // 16)
+        slab = (_BAND_SLAB_PX_WIDE if w > _BAND_WIDE_W else _BAND_SLAB_PX)
+        return min(max(4, round(h * w / slab)), h // 16)
+
+    def bands_w() -> int:
+        cols = grid_cols()
+        # In the auto path grid_cols already requires h*w >= _BAND_MIN_PX,
+        # where bands() always returns >= 4 — row banding is active
+        # whenever cols >= 2. An explicit n_bands_w is honored as given.
+        return cols if cols >= 2 else 0
+
+    def paired() -> bool:
+        # Width-paired conv1_1..relu1_2 (vgg paired_early): even width and
+        # single-mesh only. Measured v5e (PERF.md "paired early trunk"):
+        # wins at every scale up to W=2048 (512px -16%, 1024x768 -26%,
+        # 1448x1086 -19%, 2048x1536 -21%). At giant widths FULL-width
+        # paired slabs are a wash (+1-2%), but a 2D slab grid halves the
+        # slab width into the paired-eligible window, where pairing wins
+        # big (2896x2172 @18x2: paired 176.1 vs unpaired 235.0 ms/iter,
+        # r3) — so pairing engages whenever W fits OR the grid splits W.
+        if paired_early is not None:
+            # Explicit opt-in still honors the hard constraints (even
+            # width, single mesh).
+            return bool(paired_early) and w % 2 == 0 and not meshed
+        return (
+            is_tpu
+            and not meshed
+            and w % 2 == 0
+            and (w <= 2048 or bands_w() >= 2)
+        )
+
+    def auto_remat() -> bool:
+        if remat is not None:
+            return bool(remat)
+        # Remat is a memory tool, not a speed tool here: measured on v5e,
+        # storing activations beats recompute at every size that fits HBM
+        # (512px: -27%, 2048px: -13%, 2896px: -27% vs remat), except one
+        # odd-dimension-cascade anomaly (1448x1086; see PERF.md). bf16
+        # tapped-trunk activations are ~0.5 KB/pixel, so a 16 GB chip holds
+        # ~14 Mpx comfortably; beyond that, rematerialize.
+        return h * w > 14_000_000
+
+    return dict(
+        maxpool_impl=maxpool_impl(),
+        im2col_layers=im2col_layers(),
+        n_bands=bands(),
+        n_bands_w=bands_w(),
+        paired_early=paired(),
+        remat=auto_remat(),
+        shard_bands=False,
+    )
 
 
 class _AOTPrefetcher:
@@ -163,15 +354,38 @@ class _AOTPrefetcher:
             self._jobs[key] = job
         self._q.put(job)
 
+    @staticmethod
+    def _describe_key(key):
+        """Short human-readable form of a prefetch key for wait logging.
+        Keys are ('exe', capture_key, (h, w)) or (cfg, h, w, chunk)."""
+        try:
+            if key and key[0] == "exe":
+                kind = key[1][0] if isinstance(key[1], tuple) else "capture"
+                h, w = key[2]
+                return f"{kind} program @ {h}x{w}"
+            _, h, w, n = key
+            return f"step program @ {h}x{w} (chunk {n})"
+        except Exception:
+            return repr(key)[:80]
+
     def get(self, key):
         """Blocks for an in-flight job (waiting beats recompiling); returns
         None when nothing was submitted or the job failed (the caller then
-        falls back to the JIT path)."""
+        falls back to the JIT path). A long block logs what it is waiting
+        on — remote compiles take 1-10 min here, and a silent stall is
+        indistinguishable from a wedge in the console output."""
         with self._lock:
             job = self._jobs.get(key)
         if job is None:
             return None
-        job.done.wait()
+        if not job.done.wait(10.0):
+            desc = self._describe_key(key)
+            print(f"Waiting on in-flight compile of {desc} "
+                  "(remote compiles can take minutes)...", flush=True)
+            t0 = time.perf_counter()
+            job.done.wait()
+            print(f"Compile of {desc} finished after a further "
+                  f"{time.perf_counter() - t0:.0f}s.", flush=True)
         return job.result
 
 
@@ -384,148 +598,34 @@ class StyleTransfer:
 
     # ------------------------------------------------------------ internals
 
-    def _maxpool_impl(self, h, w) -> str:
-        # 'auto' resolves per pool inside the trunk: 'paired' (H-pair max +
-        # lane-merged W-pair max) beats select_and_scatter below ~750k px,
-        # but its (W,C)->(W/2,2C) relayout loses on giant tensors — at print
-        # sizes the early pools pick 'xla' and the deep pools 'paired'.
-        del h, w
-        return "auto" if self._is_tpu else "xla"
-
-    # Hybrid banding (ops/banded.py) engages where XLA's giant-tensor conv
-    # tiling dominates. Measured on v5e: full-trunk banding LOSES at
-    # 2896x2172 (80 px halo recompute, 317-380 ms vs 286 monolithic); the
-    # pool2-cut hybrid WINS from ~0.8 Mpx up. A round-2 band-count sweep
-    # found ~340k-px slabs optimal with a floor of 4 bands — 2896x2172:
-    # 191.6 ms @18 (vs 217 @12); 2048x1536: 112.3 @9; 1448x1086: 56.6 @5;
-    # 1024x768: 26.3 @4; 724x543 stays monolithic. GIANT-width canvases
-    # (the reference-aspect 2172x2896 landscape) want smaller ~235k slabs:
-    # 207.3 ms @27 rows (vs 233.8 @18); paired/column variants measured
-    # within noise of it (209-215) — see PERF.md "landscape giant scale".
-    # BELOW the 700k threshold a light 2-band split still wins ~4% down to
-    # ~150k px (543x724: 10.19 -> 9.81; 384x512: 6.11 -> 5.88; 512x512:
-    # 7.43 -> 7.21) and loses below it (272x362: 3.78 -> 4.04); the >=4
-    # floor above 700k re-confirmed under paired (768x1024: 18.44 @4 vs
-    # 18.85 @3, 19.48 @2).
-    _BAND_MIN_PX = 700_000
-    _BAND_LIGHT_MIN_PX = 150_000  # 2-band window below _BAND_MIN_PX
-    _BAND_SLAB_PX = 340_000
-    _BAND_SLAB_PX_WIDE = 235_000  # banded-axis width > 2400
-    _BAND_WIDE_W = 2400
-    _GRID_SLAB_PX = 175_000  # per-slab target when the 2D grid is active
-    # NOTE: the fused Pallas early-trunk kernel (r2's ops/pallas/trunk.py)
-    # was REMOVED in r3 under the dead-by-default standard: it never beat
-    # the banded-XLA step end-to-end, and a remote-toolchain update then
-    # regressed its forward ~4x and broke its backward compile outright
-    # (PERF.md "Pallas early trunk postmortem").
-
-    def _paired_early(self, h, w) -> bool:
-        # Width-paired conv1_1..relu1_2 (vgg paired_early): even width and
-        # single-mesh only. Measured v5e (PERF.md "paired early trunk"):
-        # wins at every scale up to W=2048 (512px -16%, 1024x768 -26%,
-        # 1448x1086 -19%, 2048x1536 -21%). At giant widths FULL-width
-        # paired slabs are a wash (+1-2%), but a 2D slab grid
-        # (see _n_bands_w) halves the slab width into the paired-eligible
-        # window, where pairing wins big (2896x2172 @18x2: paired 176.1 vs
-        # unpaired 235.0 ms/iter, r3) — so pairing engages whenever W fits
-        # OR the grid splits W.
-        if self.paired_early is not None:
-            # Explicit opt-in still honors the hard constraints (even
-            # width, single mesh).
-            return (bool(self.paired_early) and w % 2 == 0
-                    and self.mesh is None)
-        return (
-            self._is_tpu
-            and self.mesh is None
-            and w % 2 == 0
-            and (w <= 2048 or self._n_bands_w(h, w) >= 2)
-        )
-
     def _size_knobs(self, h, w) -> dict:
-        """All scale-dependent StepConfig knobs for an (h, w) canvas.
+        """All scale-dependent StepConfig knobs for an (h, w) canvas — a
+        view of the module-level :func:`auto_size_knobs` (the single source
+        of truth, shared with bench.py/tools) bound to this engine's
+        platform/mesh/explicit-knob state."""
+        from .ops.banded import DEFAULT_CUT
 
-        Single source of truth for both the per-scale cfg construction and
-        the AOT prefetch of upcoming scales: the prefetch cache is keyed on
-        the full cfg, so any drift between the two sites would silently turn
-        every prefetch into a cache miss (falling back to synchronous JIT).
-        """
-        return dict(
-            maxpool_impl=self._maxpool_impl(h, w),
-            im2col_layers=self._im2col_layers(h, w),
-            n_bands=self._n_bands(h, w),
-            n_bands_w=self._n_bands_w(h, w),
-            paired_early=self._paired_early(h, w),
-            remat=self._auto_remat(h, w),
+        # The shard-local early trunk (shard_bands) window mode cannot
+        # serve early content taps; a content layer at or below the cut
+        # keeps the plain GSPMD step (default content tap 22 is deep).
+        mesh_shape = None
+        if self.mesh is not None and all(
+                l > DEFAULT_CUT for l in self.content_layers):
+            mesh_shape = (self.mesh.shape.get("sph", 1),
+                          self.mesh.shape.get("spw", 1))
+        return auto_size_knobs(
+            h, w,
+            is_tpu=self._is_tpu,
+            meshed=self.mesh is not None,
+            mesh_shape=mesh_shape,
+            n_bands=self.n_bands,
+            n_bands_w=self.n_bands_w,
+            paired_early=self.paired_early,
+            remat=self.remat,
         )
-
-    def _im2col_layers(self, h, w) -> tuple:
-        # conv3_1 / conv5_1 (torchvision 10 / 28) as explicit im2col
-        # matmuls: removes the conv-emitter T(2,128) layout complex on the
-        # first conv after a pooling cut (512px: 105.8 -> 111 it/s;
-        # 2896x2172 banded: 245 -> 236 ms/iter; 1448px: 74.8 -> 72.5).
-        # conv4_1 (19) joins below 4 Mpx — the emitter gives it the same
-        # pathological layout at e.g. 2048x1536 (26 TF/s, +4.7 ms/iter r2),
-        # and im2col also wins at 1448 (-1.5) and 512 (-0.3) but loses at
-        # 2896 (+2.9). TPU-only (XLA's CPU conv is fine).
-        if not self._is_tpu:
-            return ()
-        return (10, 19, 28) if h * w <= 4_000_000 else (10, 28)
-
-    def _grid_cols(self, h, w) -> int:
-        """Auto column count of the 2D slab grid (0 = row bands only).
-
-        A second (column) banding level engages wherever narrower slabs
-        keep winning: the column split pulls every slab into the
-        128-lane-paired conv1_2/pool window. Measured v5e (r3, paired):
-        2896x2172 18x2 176.1 vs 192.1 best single-axis; 2048x1536 9x2 77.8
-        vs 85.0; 1448x1086 5x2 38.3 vs 40.8; 1024x768 4x2 LOSES (18.8 vs
-        18.0) — floor at w > 1000. Needs even W (paired constraint) and
-        print-size row banding.
-        """
-        if not self._is_tpu or self.mesh is not None:
-            return 0
-        if self.n_bands_w is not None:
-            return int(self.n_bands_w)
-        if h * w >= self._BAND_MIN_PX and w > 1000 and w % 2 == 0:
-            return max(2, -(-w // 1500))
-        return 0
 
     def _n_bands(self, h, w) -> int:
-        if not self._is_tpu or self.mesh is not None:
-            return 0  # sharding already splits tensors below the threshold
-        if self.n_bands is not None:
-            return int(self.n_bands)
-        if h * w < self._BAND_LIGHT_MIN_PX:
-            return 0
-        if h * w < self._BAND_MIN_PX:
-            return 2
-        cols = self._grid_cols(h, w)
-        if cols >= 2:
-            # Grid slabs: ~175k-px target counting the column split
-            # (r3 sweep at 2896x2172: 18x2 176.1 / 19x2 178.8 / 14x2 180.1
-            # / 22x2 183.0).
-            return min(max(4, round(h * w / (cols * self._GRID_SLAB_PX))),
-                       h // 16)
-        slab = (self._BAND_SLAB_PX_WIDE if w > self._BAND_WIDE_W
-                else self._BAND_SLAB_PX)
-        return min(max(4, round(h * w / slab)), h // 16)
-
-    def _n_bands_w(self, h, w) -> int:
-        cols = self._grid_cols(h, w)
-        # _grid_cols already requires h*w >= _BAND_MIN_PX, where _n_bands
-        # always returns >= 4 — row banding is active whenever cols >= 2.
-        return cols if cols >= 2 else 0
-
-    def _auto_remat(self, h, w) -> bool:
-        if self.remat is not None:
-            return bool(self.remat)
-        # Remat is a memory tool, not a speed tool here: measured on v5e,
-        # storing activations beats recompute at every size that fits HBM
-        # (512px: -27%, 2048px: -13%, 2896px: -27% vs remat), except one
-        # odd-dimension-cascade anomaly (1448x1086; see PERF.md). bf16
-        # tapped-trunk activations are ~0.5 KB/pixel, so a 16 GB chip holds
-        # ~14 Mpx comfortably; beyond that, rematerialize.
-        return h * w > 14_000_000
+        return self._size_knobs(h, w)["n_bands"]
 
     def canvas(self, content_size, scale, align=None):
         """(w, h) optimization canvas for ``scale``. Explicit ``align``
@@ -548,11 +648,12 @@ class StyleTransfer:
         print sizes — VERDICT r2: the capture used to run the monolithic
         trunk, the exact giant-tensor-tiling regime the step escaped);
         dtype stays f32 for target fidelity."""
-        return (
-            self._n_bands(h, w),
-            self._im2col_layers(h, w),
-            self._maxpool_impl(h, w),
-        )
+        k = self._size_knobs(h, w)
+        # Under a mesh the step's band knobs are SHARD-LOCAL (shard_bands);
+        # captures run once per scale on the GSPMD-global image, where
+        # host-level banding never applies.
+        n_bands = 0 if self.mesh is not None else k["n_bands"]
+        return (n_bands, k["im2col_layers"], k["maxpool_impl"])
 
     def _features_fn(self, layers_t, h, w):
         """Jitted target-capture forward for a canvas size (cached per
@@ -1019,7 +1120,12 @@ class StyleTransfer:
                     "checkpoint was written with internal orientation "
                     f"transposed={ck_flip} but this run resolves "
                     f"transposed={self._flip} — was transpose_wide (or the "
-                    "device platform) changed since the checkpoint?"
+                    "device platform) changed since the checkpoint? "
+                    + ("Pass transpose_wide='off' (--transpose-wide off) to "
+                       "resume an untransposed checkpoint compatibly."
+                       if self._flip and not ck_flip else
+                       "Pass transpose_wide='on' (--transpose-wide on) to "
+                       "resume it compatibly.")
                 )
             if "rng" in resume_state and "rng_keys" in resume_state:
                 from .utils.checkpoint import unpack_rng_state

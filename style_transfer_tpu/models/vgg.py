@@ -210,6 +210,49 @@ def unpair_width(x):
     return x.reshape(n, h, wp, 2, c).reshape(n, h, wp * 2, c)
 
 
+def _edge_mask(x, valid_rows, valid_cols, stride: int, pair_w: bool):
+    """Zero feature rows/cols that lie beyond the TRUE image edge.
+
+    Used by the SPMD shard-local trunk (parallel/shard_early.py): an edge
+    shard's halo-extended slab physically extends past the image, and the
+    monolithic computation's SAME zero-padding at the true edge is
+    reproduced by keeping everything beyond it at zero after every conv
+    (zeros to any depth are indistinguishable from the 1-row zero pad; relu
+    and the grid-aligned pools preserve them). ``valid_rows``/``valid_cols``
+    are (lo, hi) pairs in input-pixel coords of the slab — each side a
+    traced scalar (a multiple of every pool stride) or None for no mask on
+    that side. The select fuses into the producing conv's epilogue.
+    """
+    if valid_rows is None and valid_cols is None:
+        return x
+    mask = None
+
+    def rng_mask(bounds, n, axis_len):
+        lo, hi = bounds
+        ar = jnp.arange(axis_len, dtype=jnp.int32)
+        m = None
+        if lo is not None:
+            m = ar >= (jnp.asarray(lo, jnp.int32) // n)
+        if hi is not None:
+            m2 = ar < (jnp.asarray(hi, jnp.int32) // n)
+            m = m2 if m is None else (m & m2)
+        return m
+
+    if valid_rows is not None:
+        rm = rng_mask(valid_rows, stride, x.shape[1])
+        if rm is not None:
+            mask = rm[None, :, None, None]
+    if valid_cols is not None:
+        n = stride * (2 if pair_w else 1)
+        cm = rng_mask(valid_cols, n, x.shape[2])
+        if cm is not None:
+            cm = cm[None, None, :, None]
+            mask = cm if mask is None else (mask & cm)
+    if mask is None:
+        return x
+    return jnp.where(mask, x, jnp.zeros((), x.dtype))
+
+
 def _conv(x, kernel, bias, first: bool, im2col: bool = False,
           im2col_flatten: bool = True):
     if first:  # conv1_1: replicate padding (ref :38-39)
@@ -245,6 +288,8 @@ def extract_features(
     im2col_layers: Sequence[int] = (),
     paired_early: bool = False,
     im2col_flatten: bool = True,
+    valid_rows=None,
+    valid_cols=None,
 ):
     """Run the VGG-19 trunk up to the last requested layer.
 
@@ -269,6 +314,13 @@ def extract_features(
         mesh — the flattened (n*h*w, 9c) im2col form merges sharded dims
         and forces GSPMD to all-gather the patch matrix (see
         ``_conv_im2col``).
+      valid_rows / valid_cols: optional (lo, hi) bounds (input-pixel coords,
+        traced scalars or None per side) of the TRUE image region within a
+        halo-extended shard slab; feature rows/cols outside are zeroed after
+        every conv so the monolithic zero-SAME padding at the true edge is
+        reproduced to any slab depth (see :func:`_edge_mask`; used by
+        parallel/shard_early.py). Bounds must be multiples of every pool
+        stride up to the last requested layer.
       paired_early: run layers 0..PAIRED_LAST in the width-paired
         (N, H, W/2, 2C) layout — conv1_1 emits pairs directly, conv1_2 runs
         as a (3,3,128,128) block conv at full MXU lane occupancy (the
@@ -309,6 +361,11 @@ def extract_features(
         if image.shape[2] % 2:
             raise ValueError("paired_early requires an even input width")
 
+    masked = valid_rows is not None or valid_cols is not None
+    if masked and start_layer > 0:
+        raise ValueError("valid_rows/valid_cols require start_layer == 0")
+    stride = 1
+
     wanted = set(layers)
     for i in range(start_layer, last + 1):
         if compute_dtype is not None and i == cast_layer and cast_layer > 0:
@@ -327,8 +384,12 @@ def extract_features(
                 else:
                     x = pool2x2(unpair_width(x), pooling, "xla")
                     x = x * jnp.asarray(pool_scale, x.dtype)
+                stride *= 2
             else:
                 x = jnp.maximum(x, 0)
+            if masked and i in _CONV_SET:
+                x = _edge_mask(x, valid_rows, valid_cols, stride,
+                               pair_w=i <= PAIRED_LAST)
             if i in wanted:
                 feats[i] = x
             continue
@@ -336,6 +397,8 @@ def extract_features(
             x = _conv(x, params[f"conv{i}_kernel"], params[f"conv{i}_bias"],
                       i == 0, im2col=i in im2col_layers,
                       im2col_flatten=im2col_flatten)
+            if masked:
+                x = _edge_mask(x, valid_rows, valid_cols, stride, pair_w=False)
         elif i in _POOL_SET:
             impl = pool_impl
             if impl == "auto":
@@ -352,6 +415,7 @@ def extract_features(
                         if h_ * w_ <= 750_000 and w_ <= 1536
                         and (w_ <= 512 or c_ <= 128) else "xla")
             x = pool2x2(x, pooling, impl)
+            stride *= 2
             if pooling != "max":
                 # Swapping the pooling type changes activation scale; rescale
                 # like the reference does (ref :41-46).

@@ -63,11 +63,20 @@ def pool_stride(layer: int) -> int:
 
 def receptive_halo(layers: Sequence[int]) -> int:
     """Receptive-field radius (input px) of the deepest given layer,
-    rounded up to the pool-grid quantum.
+    rounded up to that layer's OWN pool-grid stride.
 
     Standard size/jump recursion: each 3x3 conv grows the field by 2*jump,
     each 2x2/2 pool by jump (then doubles the jump).
-    """
+
+    The quantum is ``pool_stride(last)``, not the global 16-px band-bound
+    quantum: slab starts only need to align to the pooling grid of the
+    deepest layer INSIDE the slab for in-slab pool windows to match the
+    monolithic ones. For the default pool2 cut that is 4 px, so the exact
+    radius 8 survives unrounded (band bounds stay 16-px multiples, so
+    every offset the halo produces stays grid-exact — pair space included,
+    8 being even). Measured v5e at 2896x2172 (18x2 paired grid): halo 8 =
+    169.0 ms/iter vs 174.8 at the old rounded-to-16 halo (-3.4%), loss
+    trajectories bit-identical over 50 iters (both halos are exact)."""
     last = max(layers)
     size, jump = 1, 1
     for i in range(last + 1):
@@ -77,7 +86,8 @@ def receptive_halo(layers: Sequence[int]) -> int:
             size += jump
             jump *= 2
     radius = size // 2
-    return -(-radius // _QUANTUM) * _QUANTUM
+    q = pool_stride(last)
+    return -(-radius // q) * q
 
 
 def band_bounds(h: int, n_bands: int) -> Tuple[int, ...]:
@@ -155,6 +165,8 @@ def banded_stats(
     axis: int = 1,
     paired_last: int = -1,
     n_bands_w: int = 0,
+    window=None,
+    return_cut: bool = False,
 ):
     """Accumulate loss statistics over halo-slabs of ``image``.
 
@@ -186,6 +198,33 @@ def banded_stats(
         ``axis == 1``). Squarer slabs keep the paired pool/early
         formulations eligible (their w <= 1536 window) at giant widths
         where single-axis row slabs span the whole image.
+      window: SPMD shard-window mode (parallel/shard_early.py). ``image``
+        is then one shard's OWNED block physically extended by a fixed
+        halo of neighbor rows/cols on every windowed axis (uniform shapes
+        across shards), and band slabs slice the window instead of
+        clamping at edges. A dict:
+          ``halo``: (halo_axis, halo_ax2) physical window halos in px —
+            0 means that axis is unwindowed (its edges are true edges);
+            a nonzero value must equal the in-band crop ``halo``.
+          ``valid_lo`` / ``valid_hi``: per-axis traced scalars, physical
+            coords of the true-image range within the window (lo = halo
+            on the first shard else 0; hi = phys_extent - halo on the
+            last shard else phys_extent). Rows/cols outside are
+            replicate-fill from the halo exchange; ``early_fn`` is then
+            called as ``early_fn(slab, valid_rows, valid_cols)`` and must
+            zero features beyond the true edge after every conv
+            (vgg.extract_features ``valid_rows``/``valid_cols``).
+          ``global_hw``: optional (H, W) FULL-image extents — moments are
+            then normalized by global pixel counts, so each shard returns
+            a partial mean/srm and a plain ``psum`` across shards yields
+            the exact full-image moments.
+        Early content layers are unsupported in window mode (their
+        targets would need global-offset slicing).
+      return_cut: return ``(moments, content_acc, cut)`` with the
+        re-assembled OWNED cut activation instead of feeding ``late_fn``
+        (the SPMD path runs the deep trunk outside the shard_map region,
+        GSPMD-partitioned; deep-layer moments are then absent from
+        ``moments`` — the caller computes them from the global cut).
 
     Note: batching the identical-size interior slabs into stacked
     early-trunk calls was built and measured NET SLOWER at every group
@@ -203,19 +242,36 @@ def banded_stats(
         raise ValueError("axis must be 1 (rows) or 2 (columns)")
     if paired_last >= cut_layer:
         raise ValueError("paired_last must be below cut_layer")
-    h, w = image.shape[1:3]
-    ext = image.shape[axis]  # banded spatial extent
+    ax2 = 3 - axis  # the secondary banding axis (2D grid when n_bands_w >= 2)
     early_style = [l for l in style_layers if l <= cut_layer]
     early_content = [l for l in content_layers if l <= cut_layer]
     if halo <= 0:
         halo = receptive_halo(set(early_style) | set(early_content)
                               | {cut_layer})
-    bounds = band_bounds(ext, n_bands)
 
-    ax2 = 3 - axis  # the secondary banding axis (2D grid when n_bands_w >= 2)
-    ext2 = image.shape[ax2]
-    grid2d = n_bands_w >= 2
-    bounds2 = band_bounds(ext2, n_bands_w) if grid2d else (0, ext2)
+    wh1 = wh2 = 0
+    valid1 = valid2 = None
+    if window is not None:
+        wh1, wh2 = window["halo"]
+        if any(wh not in (0, halo) for wh in (wh1, wh2)):
+            raise ValueError("window halos must be 0 or equal the crop halo")
+        if early_content:
+            raise ValueError(
+                "early content layers are unsupported in window mode")
+        valid1 = window["valid_lo"][0], window["valid_hi"][0]
+        valid2 = window["valid_lo"][1], window["valid_hi"][1]
+
+    # Owned (true-image) extents; in window mode the physical array is
+    # bigger by the window halos.
+    ext = image.shape[axis] - 2 * wh1
+    ext2 = image.shape[ax2] - 2 * wh2
+    h, w = ((ext, ext2) if axis == 1 else (ext2, ext))
+    if window is not None and "global_hw" in window:
+        h, w = window["global_hw"]
+    bounds = band_bounds(ext, n_bands)
+    grid2d = n_bands_w >= 2 or wh2 > 0
+    bounds2 = (band_bounds(ext2, max(n_bands_w, 1)) if grid2d
+               else (0, ext2))
 
     def _slab(x, a, b, axis_=None):
         ax = axis if axis_ is None else axis_
@@ -263,42 +319,62 @@ def banded_stats(
 
     all_early = sorted(set(early_style) | set(early_content) | {cut_layer})
 
+    keep_cut = late_fn is not None or return_cut
+
     cut_rows = []
     for k in range(len(bounds) - 1):
         s, e = bounds[k], bounds[k + 1]
-        s2 = max(0, s - halo)
-        e2 = min(ext, e + halo)
+        # Physical slab coords: with a window halo on this axis the slab
+        # never clamps (the window supplies real neighbor / replicate-fill
+        # rows past the owned block); unwindowed axes clamp at true edges.
+        if wh1:
+            s2, e2 = s + wh1 - halo, e + wh1 + halo
+        else:
+            s2, e2 = max(0, s - halo), min(ext, e + halo)
         row = _slab(image, s2, e2)
+        vb1 = (valid1[0] - s2, valid1[1] - s2) if wh1 else None
         cut_cols = []
         for m in range(len(bounds2) - 1):
             t, u = bounds2[m], bounds2[m + 1]
-            t2 = max(0, t - halo)
-            u2 = min(ext2, u + halo)
-            feats = early_fn(_slab(row, t2, u2, ax2) if grid2d else row)
+            if wh2:
+                t2, u2 = t + wh2 - halo, u + wh2 + halo
+            else:
+                t2, u2 = max(0, t - halo), min(ext2, u + halo)
+            vb2 = (valid2[0] - t2, valid2[1] - t2) if wh2 else None
+            slab = _slab(row, t2, u2, ax2) if grid2d else row
+            if window is not None:
+                vr, vc = (vb1, vb2) if axis == 1 else (vb2, vb1)
+                feats = early_fn(slab, vr, vc)
+            else:
+                feats = early_fn(slab)
             for layer in all_early:
                 p = pool_stride(layer)
                 fs, cnt = _pairspace(
-                    layer, axis, (s - s2) // p, _owned(ext, s, e, p))
+                    layer, axis, (s + wh1 - s2) // p, _owned(ext, s, e, p))
                 v = _slab(feats[layer], fs, fs + cnt)
                 if grid2d:
                     ft, cnt2 = _pairspace(
-                        layer, ax2, (t - t2) // p, _owned(ext2, t, u, p))
+                        layer, ax2, (t + wh2 - t2) // p, _owned(ext2, t, u, p))
                     v = _slab(v, ft, ft + cnt2, ax2)
                 if layer in early_style:
                     _moment_update(layer, v)
                 if layer in early_content:
                     _content_update(layer, v, s // p, t // p)
-                if layer == cut_layer and late_fn is not None:
+                if layer == cut_layer and keep_cut:
                     cut_cols.append(v)
-        if late_fn is not None:
+        if keep_cut:
             cut_rows.append(
                 jnp.concatenate(cut_cols, axis=ax2)
                 if len(cut_cols) > 1 else cut_cols[0]
             )
 
-    if late_fn is not None:
-        feats2 = late_fn(jnp.concatenate(cut_rows, axis=axis)
-                         if len(cut_rows) > 1 else cut_rows[0])
+    cut = None
+    if keep_cut:
+        cut = (jnp.concatenate(cut_rows, axis=axis)
+               if len(cut_rows) > 1 else cut_rows[0])
+
+    if late_fn is not None and not return_cut:
+        feats2 = late_fn(cut)
         for layer in style_layers:
             if layer > cut_layer:
                 _moment_update(layer, feats2[layer])
@@ -308,6 +384,8 @@ def banded_stats(
 
     moments = {}
     for layer in style_layers:
+        if layer not in sums:  # deep tap deferred to the caller (return_cut)
+            continue
         p = pool_stride(layer)
         npix = jnp.asarray((h // p) * (w // p), jnp.float32)
         moments[layer] = (sums[layer] / npix, outers[layer] / npix)
@@ -315,4 +393,6 @@ def banded_stats(
         l: (content_sse[l], content_abs[l], content_cnt[l])
         for l in content_layers
     }
+    if return_cut:
+        return moments, content_acc, cut
     return moments, content_acc

@@ -101,6 +101,14 @@ class StepConfig:
     # folded via losses.w2_moments_paired; early content taps unpair.
     # Requires even image width.
     paired_early: bool = False
+    # SPMD composition of the single-chip tricks (parallel/shard_early.py):
+    # with a mesh, run the early trunk shard-locally under shard_map —
+    # n_bands / n_bands_w / paired_early are then interpreted PER SHARD
+    # (resolved for the shard block size) — with one explicit halo exchange
+    # per sharded axis; the deep trunk stays GSPMD-partitioned from the
+    # re-assembled cut. Requires shard-divisible dims (engine gates via
+    # parallel.shard_early.shardable) and no content tap <= band_cut.
+    shard_bands: bool = False
 
     @property
     def all_layers(self) -> Tuple[int, ...]:
@@ -218,10 +226,80 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
         return total
 
     use_bands = cfg.n_bands >= 2 and mesh is None
+    use_shard_bands = (
+        cfg.shard_bands and mesh is not None
+        and all(l > cfg.band_cut for l in cfg.content_layers)
+    )
+
+    def shard_banded_loss_parts(image, params, consts):
+        """Early trunk shard-local (banded/paired under shard_map), deep
+        trunk GSPMD from the assembled cut. Returns (moments, content_acc,
+        tv)."""
+        from .models.vgg import extract_features as _xf
+        from .ops.banded import receptive_halo
+        from .parallel.shard_early import shard_banded_stats
+
+        cut = cfg.band_cut
+        early_taps = tuple(sorted(
+            {l for l in cfg.style_layers if l <= cut} | {cut}))
+        late_taps = tuple(l for l in cfg.all_layers if l > cut)
+        halo = cfg.band_halo if cfg.band_halo > 0 else receptive_halo(
+            set(early_taps))
+
+        def early_fn(params, slab, vr, vc):
+            # Slabs are shard-local: the flattened im2col form is fine (no
+            # sharded dims to merge inside the shard_map body).
+            return _xf(
+                params, slab, early_taps, pooling=cfg.pooling,
+                compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
+                cast_layer=cfg.cast_layer, im2col_layers=cfg.im2col_layers,
+                paired_early=cfg.paired_early,
+                valid_rows=vr, valid_cols=vc,
+            )
+
+        if cfg.remat:
+            early_fn = jax.checkpoint(early_fn)
+
+        moments, cut_act = shard_banded_stats(
+            mesh, early_fn, image, params,
+            style_layers=cfg.style_layers,
+            n_bands=cfg.n_bands,
+            n_bands_w=cfg.n_bands_w,
+            cut_layer=cut,
+            halo=halo,
+            paired_last=PAIRED_LAST if cfg.paired_early else -1,
+        )
+
+        def late_fn(x2):
+            return extract_features(
+                params, x2, late_taps, pooling=cfg.pooling,
+                compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
+                start_layer=cut + 1, im2col_layers=cfg.im2col_layers,
+                im2col_flatten=False,
+            )
+
+        if cfg.remat:
+            late_fn = jax.checkpoint(late_fn)
+        feats2 = late_fn(cut_act)
+        moments = dict(moments)
+        for layer in cfg.style_layers:
+            if layer > cut:
+                moments[layer] = L.w2_moments(feats2[layer])
+        content_acc = {}
+        for layer in cfg.content_layers:
+            diff = (feats2[layer].astype(jnp.float32)
+                    - consts["content"][layer].astype(jnp.float32))
+            content_acc[layer] = (
+                jnp.sum(jnp.square(diff)), jnp.sum(jnp.abs(diff)), diff.size
+            )
+        return moments, content_acc, L.tv_loss(image)
 
     def loss_fn(image, params, consts):
         image = constrain_image(image, mesh)
-        if use_bands:
+        if use_shard_bands:
+            moments, content_acc, tv = shard_banded_loss_parts(
+                image, params, consts)
+        elif use_bands:
             from .ops.banded import banded_stats
 
             cut = cfg.band_cut

@@ -18,14 +18,19 @@ from style_transfer_tpu.step import StepConfig, build_loss_fn
 
 
 def test_receptive_halo_values():
-    # conv1_1..relu1_1: radius 1 -> quantum-rounded to 16.
-    assert receptive_halo([1]) == 16
+    # The quantum is the deepest layer's own pool stride (slab starts only
+    # need that layer's pooling-grid alignment), so the default pool2-cut
+    # halo is the EXACT radius 8 — not 16 (measured -3.4%/iter at 6 Mpx,
+    # trajectories identical; see receptive_halo docstring).
+    assert receptive_halo([1]) == 1  # radius 1, stride 1
+    assert receptive_halo([1, 6, 9]) == 8  # default banded set: exact
+    assert receptive_halo([9]) == 8
     # Full default stack to relu5_1: RF size 156 -> radius 78 -> 80.
     assert receptive_halo([1, 6, 11, 20, 29]) == 80
     assert receptive_halo([22]) == 48  # relu4_2: RF size 84 -> radius 42 -> 48
-    # sanity: halos are pool-grid multiples
+    # sanity: halos are multiples of their layer's pool stride
     for layers in ([1], [6], [11], [20], [22], [29]):
-        assert receptive_halo(layers) % 16 == 0
+        assert receptive_halo(layers) % pool_stride(layers[0]) == 0
 
 
 def test_band_bounds_alignment():
@@ -85,8 +90,8 @@ def test_banded_matches_monolithic(style_loss, content_loss, band_cut):
     consts = _consts(params, base, content, style)
 
     # With 2 bands of 128 rows both interior slab edges really exercise
-    # the crop (hybrid halo 16: slabs [0,144) and [112,256); full-trunk
-    # halo 80: [0,208) and [48,256)).
+    # the crop (hybrid exact halo 8: slabs [0,136) and [120,256);
+    # full-trunk halo 80: [0,208) and [48,256)).
     banded = StepConfig(compute_dtype=None, style_loss=style_loss,
                         content_loss=content_loss, n_bands=2,
                         band_cut=band_cut)

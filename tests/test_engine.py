@@ -265,3 +265,38 @@ def test_auto_knobs_giant_portrait():
     k3 = st._size_knobs(2896, 2171)
     assert k3["n_bands_w"] == 0
     assert k3["paired_early"] is False
+
+
+def test_explicit_bands_do_not_auto_grid():
+    """A user-pinned row-band count must not silently become a 2D grid, and
+    '--bands off' (n_bands=0) must not leave a dangling column split that
+    flips paired_early on for a monolithic full-width trunk."""
+    st = make_engine(n_bands=27)
+    st._is_tpu = True
+    k = st._size_knobs(2172, 2896)
+    assert (k["n_bands"], k["n_bands_w"]) == (27, 0)
+    st0 = make_engine(n_bands=0)
+    st0._is_tpu = True
+    k0 = st0._size_knobs(2172, 2896)
+    assert (k0["n_bands"], k0["n_bands_w"]) == (0, 0)
+    # No grid to halve the slabs: full-width paired was measured a wash at
+    # giant widths, so the w > 2048 gate keeps it off.
+    assert k0["paired_early"] is False
+    # An explicit grid is still honored alongside explicit rows.
+    st2 = make_engine(n_bands=18, n_bands_w=2)
+    st2._is_tpu = True
+    k2 = st2._size_knobs(2896, 2172)
+    assert (k2["n_bands"], k2["n_bands_w"]) == (18, 2)
+
+
+def test_bench_knobs_are_engine_knobs():
+    """bench.py consumes engine.auto_size_knobs directly; the engine's own
+    per-scale resolution must be the identical function of (h, w) so the
+    driver benchmark always measures the shipping config (VERDICT r3 #5)."""
+    from style_transfer_tpu.engine import auto_size_knobs
+
+    st = make_engine()
+    st._is_tpu = True
+    for h, w in [(512, 512), (96, 128), (724, 543), (1448, 1086),
+                 (2896, 2172), (2172, 2896)]:
+        assert st._size_knobs(h, w) == auto_size_knobs(h, w, is_tpu=True)

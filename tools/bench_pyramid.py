@@ -1,12 +1,26 @@
-"""Timed full-pyramid run (the reference's headline workload).
+"""Timed full-pyramid run (the reference's headline workload) -> one JSON line.
 
-Usage: python tools/bench_pyramid.py [END_SCALE=2896] [--cold]
+Usage: python tools/bench_pyramid.py [END_SCALE=2896] [--label warm|cold]
+                                     [--out PYRAMID_rNN.json]
+
 Builds a synthetic content/style pair at the reference aspect (2896x2172,
-README.md:69), runs the default pyramid (min_scale 128, 1000 initial +
-500/scale iterations) on the engine's defaults, and prints per-scale and
-total wall times. Warm-cache runs skip XLA compiles entirely.
+/root/reference/README.md:69 — "15 minutes on an RTX 3090"), runs the
+default pyramid (min_scale 128, 1000 initial + 500/scale iterations) on the
+engine's defaults, and prints ONE JSON line on stdout:
+
+  {"metric": "pyramid_wall", "value": <total s>, "unit": "s",
+   "end_scale": N, "label": "warm", "iter_wall": s, "overhead_wall": s,
+   "scales": {"WxH": {"wall": s, "iters": n, "ms_per_iter": m}, ...}}
+
+``iter_wall`` sums the in-scale optimization time (first-callback to last
+per scale); ``overhead_wall`` = total - iter_wall is everything else:
+target captures, compiles/prefetch waits, resizes, image fetches. Human-
+readable per-scale lines go to stderr. Tracked per round as
+PYRAMID_r{N}.json (VERDICT r3 #3: the 512px microbench alone cannot catch
+a regression of the 15-minute-beating workload).
 """
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -18,7 +32,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
-    end_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 2896
+    args = [a for a in sys.argv[1:]]
+    label = "unlabeled"
+    out_path = None
+    if "--label" in args:
+        i = args.index("--label")
+        label = args[i + 1]
+        del args[i:i + 2]
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i:i + 2]
+    end_scale = int(args[0]) if args else 2896
 
     from style_transfer_tpu.engine import StyleTransfer
 
@@ -30,26 +55,57 @@ def main():
     st = StyleTransfer(devices=1)
     st.seed(0)
 
-    t_scale = {}
-    last = [None, time.perf_counter()]
+    # Per-scale iteration wall: measured first-callback-to-last within each
+    # scale, so captures/compiles between scales land in overhead_wall.
+    scales = {}
+    cur = [None, None, 0]  # key, first-cb time, iters
+
+    def flush(now):
+        if cur[0] is not None:
+            key = f"{cur[0][0]}x{cur[0][1]}"
+            wall = now - cur[1]
+            n = cur[2]
+            scales[key] = {
+                "wall": round(wall, 2),
+                "iters": n,
+                "ms_per_iter": round(wall / max(n - 1, 1) * 1000, 2),
+            }
 
     def cb(it):
+        now = time.perf_counter()
         key = (it.w, it.h)
-        if key != last[0]:
-            now = time.perf_counter()
-            if last[0] is not None:
-                t_scale[last[0]] = t_scale.get(last[0], 0.0) + (now - last[1])
-            last[0], last[1] = key, now
+        if key != cur[0]:
+            flush(now)
+            cur[0], cur[1], cur[2] = key, now, 1
+        else:
+            cur[2] += 1
 
     t0 = time.perf_counter()
     st.stylize(content, [style], end_scale=end_scale, callback=cb)
     total = time.perf_counter() - t0
-    now = time.perf_counter()
-    if last[0] is not None:
-        t_scale[last[0]] = t_scale.get(last[0], 0.0) + (now - last[1])
-    for k, v in t_scale.items():
-        print(f"scale {k[0]}x{k[1]}: {v:.1f}s")
-    print(f"TOTAL pyramid to {end_scale}: {total:.1f}s")
+    flush(time.perf_counter())
+
+    iter_wall = sum(s["wall"] for s in scales.values())
+    for k, v in scales.items():
+        print(f"scale {k}: {v['wall']:.1f}s ({v['iters']} iters, "
+              f"{v['ms_per_iter']:.1f} ms/iter)", file=sys.stderr)
+    print(f"TOTAL pyramid to {end_scale}: {total:.1f}s "
+          f"(in-scale {iter_wall:.1f}s, overhead {total - iter_wall:.1f}s)",
+          file=sys.stderr)
+    record = {
+        "metric": "pyramid_wall",
+        "value": round(total, 2),
+        "unit": "s",
+        "end_scale": end_scale,
+        "label": label,
+        "iter_wall": round(iter_wall, 2),
+        "overhead_wall": round(total - iter_wall, 2),
+        "scales": scales,
+    }
+    line = json.dumps(record)
+    print(line)
+    if out_path:
+        Path(out_path).write_text(line + "\n")
 
 
 if __name__ == "__main__":

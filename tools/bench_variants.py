@@ -38,8 +38,11 @@ def main():
     enable_persistent_cache()
     results = {}
     for name, kw in VARIANTS.items():
+        kw = dict(kw)
+        kw.setdefault("sqrtm_impl", "xla")  # engine 'auto' resolution (r3)
+        kw["im2col_layers"] = tuple(kw.get("im2col_layers", ()))
         runner, params, consts, state = g._build(
-            n_h=H, n_w=W, compute_dtype="bfloat16", sqrtm_impl="pallas", **kw
+            n_h=H, n_w=W, compute_dtype="bfloat16", **kw
         )
         state, losses = runner(params, consts, state, CHUNK)
         np.asarray(losses)  # sync after compile+warmup
