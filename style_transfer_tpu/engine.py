@@ -188,11 +188,19 @@ def auto_size_knobs(
         # plain GSPMD already splits the tensors small; fall through.
 
     def maxpool_impl() -> str:
-        # 'auto' resolves per pool inside the trunk: 'paired' (H-pair max +
-        # lane-merged W-pair max) beats select_and_scatter below ~750k px,
-        # but its (W,C)->(W/2,2C) relayout loses on giant tensors — at print
-        # sizes the early pools pick 'xla' and the deep pools 'paired'.
-        return "auto" if is_tpu else "xla"
+        # Canvas-level decision (r4 sweep, shipping knobs, v5e): 'first'
+        # (W-pair/H-pair first_max decomposition, no select_and_scatter)
+        # wins at EVERY measured scale >= 724px — 2896x2172 158.5 vs 163.0
+        # ms/iter, 2048 71.0 vs 74.7, 1448 34.9 vs 36.0, 1024 16.6 vs 17.3,
+        # 724 10.0 vs 10.3 — while 'paired' (lane-merged W-pair + H-pair
+        # reduce_window) keeps only the genuinely small 512-class canvas
+        # (6.48 vs 7.12). Per-pool 'auto' rules based on each pool's own
+        # input shape were tried twice and lose above 512px: deep pools at
+        # 1024-2896 share shapes with early pools at 512 but sit in a
+        # different step regime, so the canvas is the right granularity.
+        if not is_tpu:
+            return "xla"
+        return "paired" if h * w <= 320_000 else "first"
 
     def im2col_layers() -> tuple:
         # conv3_1 / conv5_1 (torchvision 10 / 28) as explicit im2col
@@ -461,15 +469,18 @@ class StyleTransfer:
         self.style_loss = style_loss
         self.content_loss = content_loss
         if sqrtm_impl == "auto":
-            # The VMEM-resident Pallas NS chains won ~6% of the 512px step
-            # in r2, when the W2 backward ran the iterative Lyapunov chain.
-            # The r3 trace-VJP default deleted that backward, and forward-
-            # only XLA fori_loop NS (native HIGH precision) now edges the
-            # kernel's emulated bf16x3 (512px A/B: xla 6.19-6.27 ms/iter vs
-            # pallas 6.26-6.36) — so 'auto' is plain XLA everywhere and the
-            # kernel stays as the opt-in 'pallas' (used by --w2-grad lyap
-            # benchmarking and as Mosaic infrastructure).
-            sqrtm_impl = "xla"
+            # The VMEM-resident Pallas NS chains pay for themselves exactly
+            # where a backward matmul chain exists: with the r3+ 'trace'
+            # analytic VJP (no backward chain) forward-only XLA fori_loop NS
+            # at native HIGH edges the kernel's emulated bf16x3 (512px A/B:
+            # xla 6.19-6.27 ms/iter vs pallas 6.26-6.36), but in the
+            # reference-flavor 'lyap' mode the fused kernel still wins
+            # (r4 512px A/B: pallas 7.317 vs xla 7.536 ms/iter) — so 'auto'
+            # engages the kernel for --w2-grad lyap on TPU and stays XLA
+            # for the default trace mode.
+            sqrtm_impl = ("pallas"
+                          if w2_grad == "lyap"
+                          and self.devices[0].platform == "tpu" else "xla")
         self.sqrtm_impl = sqrtm_impl
         # 'trace': analytic A^{-1/2}/2 VJP for the W2 sqrt term (exact, no
         # Lyapunov backward chain — see ops/sqrtm.trace_sqrtm_ns); 'lyap':

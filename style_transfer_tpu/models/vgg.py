@@ -194,7 +194,9 @@ def _pool_max_from_paired(x):
     """2x2/2 max pool of a width-paired tensor -> standard (N, H/2, W/2, C).
     The W-pair max is an elementwise max of the channel halves; only the
     H-pair reduction needs a (2,1) reduce_window, so the select_and_scatter
-    backward runs over half the volume of a standard 2x2 window."""
+    backward runs over half the volume of a standard 2x2 window. (An r4
+    s&s-free variant with recomputed first-max routing measured +13 ms at
+    2896x2172 and was reverted — PERF.md "maxpool saga".)"""
     c = x.shape[-1] // 2
     m = jnp.maximum(x[..., :c], x[..., c:])
     return lax.reduce_window(
@@ -290,6 +292,7 @@ def extract_features(
     im2col_flatten: bool = True,
     valid_rows=None,
     valid_cols=None,
+    sharded: bool = False,
 ):
     """Run the VGG-19 trunk up to the last requested layer.
 
@@ -372,6 +375,11 @@ def extract_features(
             x = x.astype(compute_dtype)
         if paired_early and i <= PAIRED_LAST + 1:
             if i == 0:
+                # conv1_1 stays im2col: a direct lax.conv on the paired
+                # (N, H, W/2, 6) image (never materializing the 54-ch patch
+                # matrix) measured 200.0 vs 181.4 ms/iter at 2896x2172 —
+                # XLA's small-C conv emitters lose to the patch matmul at
+                # every scale (PERF.md r2 finding 3, r4 re-check).
                 x = _conv_im2col_paired(
                     replicate_pad2d(x, 1), params["conv0_kernel"],
                     params["conv0_bias"])
@@ -401,19 +409,29 @@ def extract_features(
                 x = _edge_mask(x, valid_rows, valid_cols, stride, pair_w=False)
         elif i in _POOL_SET:
             impl = pool_impl
-            if impl == "auto":
+            if sharded and pooling == "max":
+                # GSPMD path (spatially sharded activations): only the
+                # reduce_window + select_and_scatter formulation partitions
+                # with halo exchanges; 'first'/'paired' backwards use
+                # strided slices + interior pads, which GSPMD lowers via
+                # activation ALL-GATHERS (caught by the dryrun no-all-gather
+                # assertion). The shard-local trunk (inside shard_map) still
+                # runs the fast impls on its local slabs.
+                impl = "xla"
+            elif impl == "auto":
                 # Per-pool choice from v5e measurements (PERF.md "maxpool
-                # saga"): paired wins in the small-tensor regime (512px
-                # step: all-paired -9% vs all-xla) and on WIDE LOW-CHANNEL
-                # slab pools (2048px banded, w=1536 c<=128 slabs: paired
-                # -7 ms/iter r2), but loses on giant widths (2896px w=2172
-                # slabs: +59 ms) and on wide high-channel pools (2896px
-                # 724x543 c=256: +24 ms) — decide on THIS pool's input.
+                # saga"): paired wins only the genuinely SMALL regime
+                # (512x512 step: all-paired 6.48 vs all-first 7.12 ms/iter,
+                # r4) — everywhere else 'first' (W-pair/H-pair first_max
+                # decomposition, no select_and_scatter) wins: forcing
+                # first on every standard pool took the 2896x2172 step
+                # 166.2 -> 160.2 ms/iter, with the band-slab pool2s
+                # (w_ = 543 > 512, c=64 — previously 'paired' via the old
+                # c<=128 clause) the bulk of the gap. Decide on THIS
+                # pool's input shape.
                 h_, w_ = x.shape[1:3]
-                c_ = x.shape[3]
                 impl = ("paired"
-                        if h_ * w_ <= 750_000 and w_ <= 1536
-                        and (w_ <= 512 or c_ <= 128) else "xla")
+                        if h_ * w_ <= 750_000 and w_ <= 512 else "first")
             x = pool2x2(x, pooling, impl)
             stride *= 2
             if pooling != "max":

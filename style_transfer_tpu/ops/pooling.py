@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["POOLING_SCALES", "pool2x2", "max_pool2x2",
-           "max_pool2x2_paired", "replicate_pad2d", "safe_sqrt"]
+__all__ = ["POOLING_SCALES", "pool2x2", "max_pool2x2", "max_pool2x2_first",
+           "max_pool2x2_paired", "first_max", "replicate_pad2d", "safe_sqrt"]
 
 # Reference style_transfer.py:22 — activation rescale per pooling mode.
 POOLING_SCALES = {"max": 1.0, "average": 2.0, "l2": 0.78}
@@ -48,14 +48,88 @@ def _maxpool_fwd_raw(x):
     )
 
 
+@jax.custom_vjp
+def first_max(x0, x1):
+    """Elementwise max whose gradient routes ENTIRELY to ``x0`` on ties.
+
+    This is torch ``max_pool2d``'s tie rule (gradient to the first max in
+    window iteration order) expressed as a pure elementwise op, so a 2x2/2
+    max pool decomposed into disjoint pair reductions (W pairs, then H
+    pairs — that order reproduces row-major-first overall) gets an exact
+    select_and_scatter-free backward: routing selects fuse, while XLA's own
+    s&s lowering was measured at ~6.4 ms/step across band slabs plus
+    ~3.0 ms on pool3 at 2896x2172 (PERF.md round 4). ``jnp.maximum``'s
+    builtin VJP splits ties 50/50, which both diverges from the reference
+    and emits two compares; this emits one.
+    """
+    return jnp.maximum(x0, x1)
+
+
+def _first_max_fwd(x0, x1):
+    take0 = x0 >= x1
+    return jnp.where(take0, x0, x1), take0
+
+
+def _first_max_bwd(take0, g):
+    z = jnp.zeros((), g.dtype)
+    return jnp.where(take0, g, z), jnp.where(take0, z, g)
+
+
+first_max.defvjp(_first_max_fwd, _first_max_bwd)
+
+
+def _h2_first(x):
+    """(n, 2h, w, c) -> (n, h, w, c) max over H pairs, first-row-wins ties.
+
+    The (2h) -> (h, 2) split is a free row-major reshape; the two slices
+    have plain zero-pad adjoints that XLA fuses into one interleave write.
+    """
+    n, h, w, c = x.shape
+    v = x.reshape(n, h // 2, 2, w, c)
+    return first_max(v[:, :, 0], v[:, :, 1])
+
+
+def _w2_first(x):
+    """(n, h, 2w, c) -> (n, h, w, c) max over W pairs, first-col-wins ties.
+
+    The (2w, c) -> (w, 2c) merge is a free row-major reshape putting W
+    pairs on adjacent lane blocks; channel half 0 is the even (first)
+    column of each pair."""
+    n, h, w, c = x.shape
+    v = x.reshape(n, h, w // 2, 2 * c)
+    return first_max(v[..., :c], v[..., c:])
+
+
+def max_pool2x2_first(x):
+    """2x2/2 max pooling with a select_and_scatter-free, torch-exact
+    backward: W-pair ``first_max`` then H-pair ``first_max`` reproduces
+    row-major first-max tie routing (the exact semantics of both XLA's
+    GE-select s&s and torch ``max_pool2d_with_indices``).
+
+    Measured winner on the standard (non-width-paired) pools at giant
+    scale (2896x2172 step: 'first' on every standard pool −8.0 ms/iter vs
+    the s&s baseline, PERF.md r4). Two r4 variants of the same idea LOST
+    and were dropped: this formulation applied to the width-paired trunk's
+    pool1 (+4.8 ms — the pre-pool reshape forces whole-slab relayouts of
+    the conv outputs feeding it), and a reduce_window-forward variant with
+    a routing backward recomputed from the saved input via strided slices
+    + interior-pad interleaves (giant 181.4 ms — the strided-slice/pad
+    assembly costs more than the s&s it replaces).
+    """
+    n, h, w, c = x.shape
+    hp, wp = h // 2, w // 2
+    x = x[:, : hp * 2, : wp * 2, :]
+    return _h2_first(_w2_first(x))
+
+
 def max_pool2x2(x):
     """2x2/2 max pooling (XLA reduce_window; select-and-scatter backward).
 
     Note on the backward: select-and-scatter costs ~2.3 ms/step at 512px on
-    a v5e. See ``max_pool2x2_paired`` (used on TPU where the per-pool
-    'auto' window applies) for the surviving alternative; PERF.md's
-    "maxpool saga" has the measurement history, including the dropped
-    Pallas and hpair variants.
+    a v5e. See ``max_pool2x2_paired`` / ``max_pool2x2_first`` (used on TPU
+    where the per-pool 'auto' windows apply) for the surviving
+    alternatives; PERF.md's "maxpool saga" has the measurement history,
+    including the dropped Pallas, hpair, and routed-backward variants.
     """
     return _maxpool_fwd_raw(x)
 
@@ -67,7 +141,9 @@ def max_pool2x2_paired(x):
     Pure XLA ops with vanilla autodiff: the backward is elementwise selects
     and the reshape adjoints — no select_and_scatter. Tie gradients split
     50/50 per max (PyTorch picks the first winner; differs only on exact
-    ties such as post-ReLU zeros)."""
+    ties such as post-ReLU zeros). Wins the small-tensor regime (512px
+    step: all-paired -9% vs all-xla); a first-max tie-exact backward for
+    this impl was measured slower (r4) and reverted."""
     n, h, w, c = x.shape
     hp, wp = h // 2, w // 2
     x = x[:, : hp * 2, : wp * 2, :]
@@ -81,15 +157,18 @@ def pool2x2(x, mode: str, impl: str = "xla"):
 
     ``l2`` follows ``nn.LPPool2d(2, 2)``: root of the *sum* (not mean) of
     squares over the window. ``impl`` selects the max-pool formulation
-    ('xla' reduce_window or 'paired'; extract_features resolves 'auto'
-    per-pool). Two alternatives were built, measured, and dropped: a fused
+    ('xla' reduce_window, 'paired', or 'first'; extract_features resolves
+    'auto' per-pool). Alternatives built, measured, and dropped: a fused
     Pallas max-pool (its (H,W,C)->(H,W/2,2C) boundary relayout cost more
-    than the select_and_scatter it saved) and an 'hpair' H-strided-max +
+    than the select_and_scatter it saved), an 'hpair' H-strided-max +
     width-only reduce_window (the strided-slice backward's scatter-add
-    loses at every size: 512px 10.1 vs 8.4 ms/iter, 2896px 248 vs 191).
-    See PERF.md "maxpool saga".
+    loses at every size: 512px 10.1 vs 8.4 ms/iter, 2896px 248 vs 191),
+    and an s&s-forward + routed-recompute-backward 'first' variant (giant
+    181.4 vs 168.0 ms/iter). See PERF.md "maxpool saga".
     """
     if mode == "max":
+        if impl == "first":
+            return max_pool2x2_first(x)
         if impl == "paired":
             return max_pool2x2_paired(x)
         if impl != "xla":

@@ -144,7 +144,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
             compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
             cast_layer=cfg.cast_layer, im2col_layers=cfg.im2col_layers,
             paired_early=cfg.paired_early,
-            im2col_flatten=mesh is None,
+            im2col_flatten=mesh is None, sharded=mesh is not None,
         )
 
     if cfg.remat:
@@ -275,7 +275,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 params, x2, late_taps, pooling=cfg.pooling,
                 compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
                 start_layer=cut + 1, im2col_layers=cfg.im2col_layers,
-                im2col_flatten=False,
+                im2col_flatten=False, sharded=True,
             )
 
         if cfg.remat:

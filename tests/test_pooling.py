@@ -64,7 +64,7 @@ def test_replicate_pad_matches_torch():
     np.testing.assert_allclose(ours, np.transpose(theirs, (0, 2, 3, 1)), rtol=1e-6)
 
 
-@pytest.mark.parametrize("impl", ["paired"])
+@pytest.mark.parametrize("impl", ["paired", "first"])
 @pytest.mark.parametrize("hw", [(8, 8), (7, 9), (6, 10)])
 def test_max_pool_impls_match_xla(impl, hw):
     rng = np.random.RandomState(1)
@@ -72,3 +72,31 @@ def test_max_pool_impls_match_xla(impl, hw):
     base = np.asarray(pool2x2(jnp.asarray(x), "max", "xla"))
     alt = np.asarray(pool2x2(jnp.asarray(x), "max", impl))
     np.testing.assert_allclose(alt, base, rtol=1e-6)
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (7, 9), (6, 10)])
+def test_max_pool_first_backward_torch_exact_on_ties(hw):
+    """'first' decomposes 2x2 max into W-pair then H-pair first_max, which
+    must reproduce torch max_pool2d's row-major first-max tie routing
+    BIT-EXACTLY — including on exact ties (integer-valued inputs force
+    many, as do post-ReLU zeros). Also checked against XLA's
+    select_and_scatter backward (the 'xla' impl), which shares the rule."""
+    rng = np.random.RandomState(7)
+    x = rng.randint(-2, 3, (1, *hw, 4)).astype(np.float32)
+    hp, wp = hw[0] // 2, hw[1] // 2
+    g = rng.randn(1, hp, wp, 4).astype(np.float32)
+
+    y_first, vjp_first = jax.vjp(
+        lambda v: pool2x2(v, "max", "first"), jnp.asarray(x))
+    y_xla, vjp_xla = jax.vjp(
+        lambda v: pool2x2(v, "max", "xla"), jnp.asarray(x))
+    assert np.array_equal(np.asarray(y_first), np.asarray(y_xla))
+    g_first = np.asarray(vjp_first(jnp.asarray(g))[0])
+    g_xla = np.asarray(vjp_xla(jnp.asarray(g))[0])
+    assert np.array_equal(g_first, g_xla)
+
+    xt = torch.tensor(nhwc_to_nchw(x), requires_grad=True)
+    yt = F.max_pool2d(xt, 2)
+    yt.backward(torch.tensor(nhwc_to_nchw(g)))
+    gt = np.transpose(xt.grad.numpy(), (0, 2, 3, 1))
+    assert np.array_equal(g_first, gt)
