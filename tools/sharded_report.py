@@ -106,6 +106,13 @@ def main():
         if m:
             b, s = _shape_bytes(m.group(1))
             ars[s] = (ars.get(s, (0, 0))[0] + 1, b)
+        # Tuple-result all-reduces: "(f32[64,64], f32[64]) all-reduce(..."
+        m = re.match(r"%?\S+ = \(([^)]*)\) all-reduce", line)
+        if m:
+            for part in m.group(1).split(", "):
+                b, s = _shape_bytes(part)
+                if b:
+                    ars[s] = (ars.get(s, (0, 0))[0] + 1, b)
 
     cp_total = sum(c * b for c, b in cps.values())
     ar_total = sum(c * b for c, b in ars.values())
