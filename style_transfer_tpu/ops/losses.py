@@ -264,19 +264,3 @@ def tv_loss(image):
     d3 = jnp.mean(jnp.square(x[:, 1:, 1:, :] - x[:, :-1, :-1, :])) / 12.0
     d4 = jnp.mean(jnp.square(x[:, 1:, :-1, :] - x[:, :-1, 1:, :])) / 12.0
     return 2.0 * (d1 + d2 + d3 + d4)
-
-
-def tv_loss_nchw(image):
-    """:func:`tv_loss` for a channel-planes (N, C, H, W) image.
-
-    Same stencil on spatial axes (2, 3); used when the loop state carries
-    the image as planes (StepConfig.image_planes) so the TV term never
-    touches the 3-channel-minor NHWC layout. Summands are identical to the
-    NHWC form; only the reduction order differs (ulp-level)."""
-    x = jnp.pad(_f32(image), ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
-    c = x[:, :, 1:-1, 1:-1]
-    d1 = jnp.mean(jnp.square(x[:, :, 1:-1, 2:] - c)) / 3.0
-    d2 = jnp.mean(jnp.square(x[:, :, 2:, 1:-1] - c)) / 3.0
-    d3 = jnp.mean(jnp.square(x[:, :, 1:, 1:] - x[:, :, :-1, :-1])) / 12.0
-    d4 = jnp.mean(jnp.square(x[:, :, 1:, :-1] - x[:, :, :-1, 1:])) / 12.0
-    return 2.0 * (d1 + d2 + d3 + d4)

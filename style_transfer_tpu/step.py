@@ -109,15 +109,6 @@ class StepConfig:
     # re-assembled cut. Requires shard-divisible dims (engine gates via
     # parallel.shard_early.shardable) and no content tap <= band_cut.
     shard_bands: bool = False
-    # Carry the loop state (image, Adam mu/nu, EMA) as channel planes
-    # (N, C, H, W) instead of NHWC: C=3 minor forces a padded T(4,128)
-    # H-minor layout on every f32 canvas-sized tensor, so the Adam/EMA/TV
-    # epilogue (elementwise, ~10 canvas passes/iter) runs far under HBM
-    # bandwidth at print sizes. Planes tile densely; the trunk gets NHWC
-    # via ONE explicit transpose at the loss boundary (its adjoint
-    # transposes the image gradient back). Elementwise epilogue math is
-    # bit-identical either way. Single-mesh only (v1).
-    image_planes: bool = False
 
     @property
     def all_layers(self) -> Tuple[int, ...]:
@@ -303,16 +294,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
             )
         return moments, content_acc, L.tv_loss(image)
 
-    if cfg.image_planes and mesh is not None:
-        raise ValueError("image_planes is single-mesh only (v1)")
-
     def loss_fn(image, params, consts):
-        tv_planes = None
-        if cfg.image_planes:
-            # TV runs planes-native; the trunk gets NHWC via one transpose
-            # whose adjoint carries the image gradient back to planes.
-            tv_planes = L.tv_loss_nchw(image)
-            image = jnp.transpose(image, (0, 2, 3, 1))
         image = constrain_image(image, mesh)
         if use_shard_bands:
             moments, content_acc, tv = shard_banded_loss_parts(
@@ -369,8 +351,6 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                     jnp.sum(jnp.square(diff)), jnp.sum(jnp.abs(diff)), diff.size
                 )
             tv = L.tv_loss(feats[INPUT])
-        if tv_planes is not None:
-            tv = tv_planes
         return (content_total(content_acc) + style_total(moments, consts)
                 + cfg.tv_weight * tv)
 

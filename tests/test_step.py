@@ -85,25 +85,3 @@ def test_runner_scan_loss_decreases(vgg_params):
     assert losses[-1] < losses[0]
     img = np.asarray(state.image)
     assert img.min() >= 0.0 and img.max() <= 1.0  # box constraint enforced
-
-
-def test_image_planes_state_matches_nhwc():
-    """StepConfig.image_planes carries the loop state as (N,C,H,W) planes.
-    The epilogue (Adam/clamp/EMA) is elementwise and the boundary transpose
-    exact, so trajectories match to float noise (the different program
-    shape refuses XLA the exact same fusion/accumulation order, so exact
-    bit-identity only holds for the simplest configs)."""
-    import __graft_entry__ as g
-
-    r1, p1, c1, s1 = g._build(n_h=48, n_w=64, n_bands=2, paired_early=True)
-    r2, p2, c2, s2 = g._build(n_h=48, n_w=64, n_bands=2, paired_early=True,
-                              image_planes=True)
-    assert s2.image.shape == (1, 3, 48, 64)
-    s1, l1 = r1(p1, c1, s1, 5)
-    s2, l2 = r2(p2, c2, s2, 5)
-    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-6)
-    img1 = np.asarray(s1.image)
-    img2 = np.transpose(np.asarray(s2.image), (0, 2, 3, 1))
-    np.testing.assert_allclose(img1, img2, atol=2e-5)
-    mu2 = np.transpose(np.asarray(s2.opt.mu), (0, 2, 3, 1))
-    np.testing.assert_allclose(np.asarray(s1.opt.mu), mu2, atol=2e-5)
