@@ -22,6 +22,7 @@ Behavioral parity:
 from functools import partial
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -111,6 +112,64 @@ def _conv_im2col(xp, kernel, bias, flatten: bool = True):
     else:
         y = lax.dot_general(xcol, kcol, (((3,), (0,)), ((), ())))
     return y + bias.astype(xp.dtype)
+
+
+def _conv_input_grad(g, kernel):
+    """d(VALID 3x3 conv)/d(padded input): full correlation of the cotangent
+    with the spatially-flipped, IO-transposed kernel — the conv-transpose
+    identity. One conv-emitter call, no patch-matrix cotangent."""
+    kt = jnp.flip(kernel, (0, 1)).swapaxes(2, 3).astype(g.dtype)
+    return lax.conv_general_dilated(
+        g, kt, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        dimension_numbers=_DIMNUMS,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv_im2col_convgrad(xp, kernel, bias, flatten=True):
+    """:func:`_conv_im2col` forward with a CONV-emitter backward.
+
+    Autodiff of the im2col form materializes the 9C-channel patch-matrix
+    cotangent and then runs the concatenate adjoint (a 9-way split) plus
+    nine shifted pad-adds — at 2896x2172 the conv3_1 split fusion alone
+    measured 2.8 ms/iter with a 1.2 ms pad-add behind it. The input
+    gradient of a conv IS a conv (full correlation with the flipped
+    transposed kernel), so the backward runs one emitter call on C-channel
+    tensors instead. The forward stays im2col: the emitter pathology this
+    formulation dodges (PERF.md r2 finding) is specific to the FORWARD
+    shapes after a pooling cut; the backward conv has regular C-in/C-out
+    shapes the emitter compiles at full throughput.
+    """
+    return _conv_im2col(xp, kernel, bias, flatten)
+
+
+def _conv_im2col_convgrad_fwd(xp, kernel, bias, flatten):
+    return _conv_im2col(xp, kernel, bias, flatten), (xp, kernel)
+
+
+def _conv_im2col_convgrad_bwd(flatten, res, g):
+    xp, kernel = res
+    dxp = _conv_input_grad(g, kernel)
+    # Honest parameter cotangents (the engine differentiates w.r.t. the
+    # image only, so XLA dead-code-eliminates these in the hot step).
+    n, hp, wp, c = xp.shape
+    h, w = hp - 2, wp - 2
+    dk = jnp.stack([
+        jnp.stack([
+            jnp.einsum(
+                "nhwc,nhwo->co", xp[:, dy:dy + h, dx:dx + w, :], g,
+                preferred_element_type=jnp.float32,
+            )
+            for dx in range(3)
+        ])
+        for dy in range(3)
+    ]).astype(kernel.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(kernel.dtype)
+    return dxp, dk, db
+
+
+_conv_im2col_convgrad.defvjp(_conv_im2col_convgrad_fwd,
+                             _conv_im2col_convgrad_bwd)
 
 
 def _conv_im2col_paired(xp, kernel, bias):
@@ -256,14 +315,19 @@ def _edge_mask(x, valid_rows, valid_cols, stride: int, pair_w: bool):
 
 
 def _conv(x, kernel, bias, first: bool, im2col: bool = False,
-          im2col_flatten: bool = True):
+          im2col_flatten: bool = True, im2col_grad: str = "patch"):
     if first:  # conv1_1: replicate padding (ref :38-39)
+        # conv1_1 keeps the patch backward: the conv-grad form would emit a
+        # 3-output-channel backward conv — the exact degenerate emitter
+        # shape the im2col forward exists to dodge.
         return _conv_im2col(replicate_pad2d(x, 1), kernel, bias,
                             flatten=im2col_flatten)
     if im2col:
-        return _conv_im2col(
+        fn = (_conv_im2col_convgrad if im2col_grad == "conv"
+              else _conv_im2col)
+        return fn(
             jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))), kernel, bias,
-            flatten=im2col_flatten)
+            im2col_flatten)
     padding = "SAME"
     # No preferred_element_type here: the TPU MXU already accumulates bf16
     # convolutions in f32 internally, and a widened output dtype would break
@@ -290,6 +354,7 @@ def extract_features(
     im2col_layers: Sequence[int] = (),
     paired_early: bool = False,
     im2col_flatten: bool = True,
+    im2col_grad: str = "patch",
     valid_rows=None,
     valid_cols=None,
     sharded: bool = False,
@@ -404,7 +469,7 @@ def extract_features(
         if i in _CONV_SET:
             x = _conv(x, params[f"conv{i}_kernel"], params[f"conv{i}_bias"],
                       i == 0, im2col=i in im2col_layers,
-                      im2col_flatten=im2col_flatten)
+                      im2col_flatten=im2col_flatten, im2col_grad=im2col_grad)
             if masked:
                 x = _edge_mask(x, valid_rows, valid_cols, stride, pair_w=False)
         elif i in _POOL_SET:

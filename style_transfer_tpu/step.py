@@ -95,6 +95,11 @@ class StepConfig:
     # sidesteps XLA's conv-emitter layout pathologies, e.g. conv3_1 (10)
     # right after the pool2 cut at print sizes.
     im2col_layers: Tuple[int, ...] = ()
+    # Backward formulation for im2col convs: 'patch' = plain autodiff
+    # (materializes the 9C patch-matrix cotangent + split/pad-add adjoint);
+    # 'conv' = conv-transpose identity, one conv-emitter call
+    # (vgg._conv_im2col_convgrad).
+    im2col_grad: str = "patch"
     # Run conv1_1..relu1_2 in the width-paired (N, H, W/2, 2C) layout
     # (vgg.extract_features ``paired_early``): full 128-lane tiles for the
     # C=64 block, halved select_and_scatter at pool1. Early style taps are
@@ -143,6 +148,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
             params, image, cfg.all_layers, pooling=cfg.pooling,
             compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
             cast_layer=cfg.cast_layer, im2col_layers=cfg.im2col_layers,
+            im2col_grad=cfg.im2col_grad,
             paired_early=cfg.paired_early,
             im2col_flatten=mesh is None, sharded=mesh is not None,
         )
@@ -253,6 +259,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 params, slab, early_taps, pooling=cfg.pooling,
                 compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
                 cast_layer=cfg.cast_layer, im2col_layers=cfg.im2col_layers,
+                im2col_grad=cfg.im2col_grad,
                 paired_early=cfg.paired_early,
                 valid_rows=vr, valid_cols=vc,
             )
@@ -275,6 +282,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 params, x2, late_taps, pooling=cfg.pooling,
                 compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
                 start_layer=cut + 1, im2col_layers=cfg.im2col_layers,
+                im2col_grad=cfg.im2col_grad,
                 im2col_flatten=False, sharded=True,
             )
 
@@ -313,6 +321,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                     compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
                     cast_layer=cfg.cast_layer,
                     im2col_layers=cfg.im2col_layers,
+                    im2col_grad=cfg.im2col_grad,
                     paired_early=cfg.paired_early,
                 )
 
@@ -321,6 +330,7 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                     params, x2, late_taps, pooling=cfg.pooling,
                     compute_dtype=cfg.dtype, pool_impl=cfg.maxpool_impl,
                     start_layer=cut + 1, im2col_layers=cfg.im2col_layers,
+                    im2col_grad=cfg.im2col_grad,
                 )
 
             if cfg.remat:

@@ -3,6 +3,7 @@ same architecture with identical weights (SURVEY.md §4.2 — torchvision itself
 is unavailable offline, so the torch model is constructed from the same
 layer spec the torchvision VGG-19 uses)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -134,3 +135,43 @@ def test_feature_shape():
     assert feature_shape(29, 96, 128) == (6, 8, 512)
     # matches actual activation shapes (floor semantics on odd dims)
     assert feature_shape(6, 51, 67) == (25, 33, 128)
+
+
+def test_im2col_convgrad_matches_patch_backward():
+    """vgg._conv_im2col_convgrad: identical forward; the conv-transpose
+    backward must equal the patch-matrix autodiff backward (same math,
+    different op) for input, kernel, and bias cotangents."""
+    from style_transfer_tpu.models.vgg import (
+        _conv_im2col, _conv_im2col_convgrad)
+
+    rng = np.random.RandomState(0)
+    xp = jnp.asarray(rng.randn(1, 18, 22, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 64, 128).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(128).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, 16, 20, 128).astype(np.float32))
+    for flatten in (True, False):
+        y1, vjp1 = jax.vjp(
+            lambda x_, k_, b_: _conv_im2col(x_, k_, b_, flatten), xp, k, b)
+        y2, vjp2 = jax.vjp(
+            lambda x_, k_, b_: _conv_im2col_convgrad(x_, k_, b_, flatten),
+            xp, k, b)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
+        for a, c in zip(vjp1(g), vjp2(g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-4)
+
+
+def test_im2col_convgrad_step_trajectory_matches():
+    """A short fused-step run with im2col_grad='conv' must track the
+    default patch backward to float noise."""
+    import __graft_entry__ as g
+
+    kw = dict(n_h=48, n_w=64, im2col_layers=(10, 19, 28), n_bands=2,
+              paired_early=True)
+    r1, p1, c1, s1 = g._build(**kw)
+    r2, p2, c2, s2 = g._build(im2col_grad="conv", **kw)
+    s1, l1 = r1(p1, c1, s1, 5)
+    s2, l2 = r2(p2, c2, s2, 5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.image), np.asarray(s2.image), atol=2e-5)
