@@ -298,6 +298,14 @@ def auto_size_knobs(
     return dict(
         maxpool_impl=maxpool_impl(),
         im2col_layers=im2col_layers(),
+        # Backward of the im2col deep convs as ONE conv-emitter call
+        # (conv-transpose identity) instead of the patch-matrix cotangent
+        # + 9-way split + shifted pad-adds autodiff emits. Measured v5e
+        # (r4, shipping knobs): 512x512 8.16 -> 7.20 ms/iter (-12%),
+        # 2896x2172 157.9 -> 155.5 (-1.5%) — the backward conv has regular
+        # C-in/C-out shapes the emitter runs at full throughput, unlike
+        # the FORWARD shapes the im2col formulation dodges.
+        im2col_grad="conv" if is_tpu else "patch",
         n_bands=bands(),
         n_bands_w=bands_w(),
         paired_early=paired(),

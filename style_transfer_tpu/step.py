@@ -98,7 +98,8 @@ class StepConfig:
     # Backward formulation for im2col convs: 'patch' = plain autodiff
     # (materializes the 9C patch-matrix cotangent + split/pad-add adjoint);
     # 'conv' = conv-transpose identity, one conv-emitter call
-    # (vgg._conv_im2col_convgrad).
+    # (vgg._conv_im2col_convgrad). The engine's auto_size_knobs resolves
+    # 'conv' on TPU (512px -12%, 2896x2172 -1.5% measured r4).
     im2col_grad: str = "patch"
     # Run conv1_1..relu1_2 in the width-paired (N, H, W/2, 2C) layout
     # (vgg.extract_features ``paired_early``): full 128-lane tiles for the

@@ -119,7 +119,7 @@ def test_sharded_step_has_no_all_gather(vgg_params):
     # im2col deep layers + paired-capable pooling: the configs the engine
     # actually runs on TPU meshes.
     cfg = StepConfig(compute_dtype="bfloat16", maxpool_impl="auto",
-                     im2col_layers=(10, 19, 28))
+                     im2col_layers=(10, 19, 28), im2col_grad="conv")
 
     cf = extract_features(vgg_params, content, cfg.content_layers)
     sf = extract_features(vgg_params, style, cfg.style_layers)
