@@ -78,6 +78,10 @@ def profile(h, w, maxpool="auto", iters=20, top=30, **cfg_kw):
         if e.get("ph") == "X" and "dur" in e and e.get("pid") in device_pids
         and not str(e.get("name", "")).startswith("while")  # container op
         and "jit_" not in str(e.get("name", ""))
+        # Whole-trace container rows (a bare step-number name, no HLO
+        # category/source) span every real op and double the totals.
+        and ("hlo_category" in e.get("args", {})
+             or not str(e.get("name", "")).isdigit())
     ]
     buckets = defaultdict(float)
     names = defaultdict(float)
