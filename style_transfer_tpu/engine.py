@@ -35,7 +35,9 @@ from .ops import losses as L
 from .ops.resize import resize2d
 from .parallel.mesh import make_mesh, shard_image
 from .step import (
+    _LBFGS_MEMORY,
     AdamState,
+    LBFGSState,
     LoopState,
     StepConfig,
     adam_init,
@@ -373,14 +375,14 @@ class _AOTPrefetcher:
     @staticmethod
     def _describe_key(key):
         """Short human-readable form of a prefetch key for wait logging.
-        Keys are ('exe', capture_key, (h, w)) or (cfg, h, w, chunk)."""
+        Keys are ('exe', capture_key, (h, w)) or (cfg, h, w, chunk, opt)."""
         try:
             if key and key[0] == "exe":
                 kind = key[1][0] if isinstance(key[1], tuple) else "capture"
                 h, w = key[2]
                 return f"{kind} program @ {h}x{w}"
-            _, h, w, n = key
-            return f"step program @ {h}x{w} (chunk {n})"
+            _, h, w, n, opt = key
+            return f"{opt} step program @ {h}x{w} (chunk {n})"
         except Exception:
             return repr(key)[:80]
 
@@ -911,13 +913,23 @@ class StyleTransfer:
                 style[l] = sds((1, c, c), f32)
         return {"content": content, "style": style}
 
-    def _state_struct(self, ch: int, cw: int):
-        f32 = jnp.float32
+    def _state_struct(self, ch: int, cw: int, optimizer: str = "adam"):
+        f32, i32 = jnp.float32, jnp.int32
         sds = jax.ShapeDtypeStruct
         img = sds((1, ch, cw, 3), f32)
+        if optimizer == "adam":
+            opt = AdamState(mu=img, nu=img, count=sds((), i32))
+        else:  # reference-flavor lbfgs (step.lbfgs_init shapes)
+            hist = sds((_LBFGS_MEMORY, 1, ch, cw, 3), f32)
+            opt = LBFGSState(
+                s_hist=hist, y_hist=hist, rho=sds((_LBFGS_MEMORY,), f32),
+                num_old=sds((), i32), head=sds((), i32), d=img,
+                t=sds((), f32), prev_grad=img, h_diag=sds((), f32),
+                n_iter=sds((), i32),
+            )
         return LoopState(
             image=img,
-            opt=AdamState(mu=img, nu=img, count=sds((), jnp.int32)),
+            opt=opt,
             ema=EMAState(value=img, accum=sds((), f32)),
         )
 
@@ -953,22 +965,26 @@ class StyleTransfer:
         rem = actual_its % n1
         return (n1,) if rem == 0 else (n1, rem)
 
-    def _prefetch_scale(self, cfg: StepConfig, ch: int, cw: int, actual_its: int):
-        """Queue AOT compilation of the runner(s) for an upcoming scale.
+    def _prefetch_scale(self, cfg: StepConfig, ch: int, cw: int,
+                        actual_its: int, optimizer: str = "adam"):
+        """Queue AOT compilation of the runner(s) for an upcoming scale
+        (adam and reference-flavor lbfgs; lbfgs-zoom stays on the JIT path).
 
         Single device: lower from abstract ShapeDtypeStructs. With a mesh:
         lower from concrete zero-filled dummies built exactly like the real
         scale-start state (same shard_image path), so the compiled program's
         input shardings match what it will be fed.
         """
-        runner = self._get_runner(cfg, "adam")
+        runner = self._get_runner(cfg, optimizer)
+        if optimizer != "adam":
+            runner = runner[0]  # (runner, opt_init)
         if self.mesh is None:
             params_in = {
                 k: jax.ShapeDtypeStruct(v.shape, v.dtype)
                 for k, v in self.params.items()
             }
             consts_in = self._consts_struct(cfg, ch, cw)
-            state_in = self._state_struct(ch, cw)
+            state_in = self._state_struct(ch, cw, optimizer)
         else:
             params_in = self.params
 
@@ -977,15 +993,14 @@ class StyleTransfer:
 
             consts_in = jax.tree.map(zeros, self._consts_struct(cfg, ch, cw))
             img = shard_image(jnp.zeros((1, ch, cw, 3), jnp.float32), self.mesh)
-            state_in = LoopState(
-                image=img,
-                opt=AdamState(
-                    mu=img, nu=img, count=jnp.zeros((), jnp.int32)
-                ),
-                ema=EMAState(value=img, accum=jnp.zeros((), jnp.float32)),
-            )
+            state_in = jax.tree.map(
+                zeros, self._state_struct(ch, cw, optimizer)
+            )._replace(image=img)
+            if optimizer == "adam":
+                state_in = state_in._replace(
+                    opt=state_in.opt._replace(mu=img, nu=img))
         for n in self._aot_chunks(ch, cw, actual_its):
-            key = (cfg, ch, cw, n)
+            key = (cfg, ch, cw, n, optimizer)
 
             def make(n=n):
                 return runner.lower(params_in, consts_in, state_in, n).compile()
@@ -1086,10 +1101,11 @@ class StyleTransfer:
             self._flip = self._is_tpu and self.mesh is None and c_w > c_h
         self._params_t = None
 
-        if checkpoint is not None and optimizer != "adam":
+        if checkpoint is not None and optimizer == "lbfgs-zoom":
             print(
-                "Warning: --checkpoint supports only the Adam optimizer; "
-                "no checkpoints will be written for this run."
+                "Warning: --checkpoint supports the adam and lbfgs "
+                "optimizers; no checkpoints will be written for this "
+                "lbfgs-zoom run (its optax state is not serialized)."
             )
         # Checkpoint .npz writes run on a background thread (the host-array
         # snapshot stays synchronous: the step donates its state, so device
@@ -1097,7 +1113,7 @@ class StyleTransfer:
         # every ``checkpoint_every`` iterations, plus every scale end.
         ckpt_writer = (
             AsyncCheckpointWriter()
-            if checkpoint is not None and optimizer == "adam"
+            if checkpoint is not None and optimizer in ("adam", "lbfgs")
             else None
         )
         iters_since_ckpt = 0
@@ -1226,8 +1242,8 @@ class StyleTransfer:
                         out.append((sh, sw))
                     return out
 
-                if optimizer == "adam":
-                    self._prefetch_scale(cfg, ih, iw, actual_its)
+                if optimizer in ("adam", "lbfgs"):
+                    self._prefetch_scale(cfg, ih, iw, actual_its, optimizer)
                     self._prefetch_capture(ih, iw, style_hws(scale),
                                            self.style_loss)
                     for nxt in range(scale_idx + 1, len(scales)):
@@ -1237,7 +1253,7 @@ class StyleTransfer:
                         ih2, iw2 = ((cw2, ch2) if self._flip else (ch2, cw2))
                         self._prefetch_scale(
                             dataclasses.replace(cfg, **self._size_knobs(ih2, iw2)),
-                            ih2, iw2, iterations,
+                            ih2, iw2, iterations, optimizer,
                         )
                         # Captures are small programs that load in 0.2-5 s:
                         # one scale ahead is enough, and submitting them all
@@ -1271,10 +1287,15 @@ class StyleTransfer:
                     state = LoopState(image=self.image, opt=opt_state, ema=self.average)
                 elif optimizer in ("lbfgs", "lbfgs-zoom"):
                     runner, opt_init = self._get_runner(cfg, optimizer)
+                    if resuming_here and optimizer == "lbfgs":
+                        opt0 = LBFGSState(**{
+                            f: jnp.asarray(resume_state[f"lbfgs_{f}"])
+                            for f in LBFGSState._fields
+                        })
+                    else:
+                        opt0 = opt_init(self.image, self._step_params(), consts)
                     state = LoopState(
-                        image=self.image,
-                        opt=opt_init(self.image, self._step_params(), consts),
-                        ema=self.average,
+                        image=self.image, opt=opt0, ema=self.average,
                     )
                 else:
                     raise ValueError(
@@ -1289,8 +1310,8 @@ class StyleTransfer:
                 while done < actual_its:
                     n = min(scale_chunk, actual_its - done)
                     aot = None
-                    if optimizer == "adam":
-                        aot = self._prefetcher.get((cfg, ih, iw, n))
+                    if optimizer in ("adam", "lbfgs"):
+                        aot = self._prefetcher.get((cfg, ih, iw, n, optimizer))
                     with _phase_timer(
                         f"{'chunk1' if first_chunk else 'chunk'}@{scale}x{n}"
                     ):
@@ -1322,10 +1343,11 @@ class StyleTransfer:
                                 print("Warning: checkpoint write failed: "
                                       f"{ckpt_writer.error}")
                                 ckpt_writer.error = None
+                            opt_key = "adam" if optimizer == "adam" else "lbfgs"
                             with _phase_timer(f"ckpt-snapshot@{scale}"):
                                 snap = jax.tree.map(
                                     jnp.copy,
-                                    {"image": state.image, "adam": state.opt,
+                                    {"image": state.image, opt_key: state.opt,
                                      "ema": state.ema},
                                 )
                             ckpt_writer.submit(

@@ -23,7 +23,7 @@ __all__ = [
     "AsyncCheckpointWriter",
 ]
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3  # v3 adds L-BFGS states (lbfgs_* arrays); v1/v2 still load
 
 
 def pack_rng_state(rng):
@@ -43,9 +43,18 @@ def unpack_rng_state(rng, header, keys):
     ))
 
 
-def save_checkpoint(path, *, image, adam, ema, scale_index, done_iters,
-                    meta=None, optimizer="adam", rng=None):
-    """Atomically write the optimization state to ``path`` (.npz)."""
+def save_checkpoint(path, *, image, ema, scale_index, done_iters,
+                    adam=None, lbfgs=None, meta=None, optimizer="adam",
+                    rng=None):
+    """Atomically write the optimization state to ``path`` (.npz).
+
+    Exactly one of ``adam`` (an AdamState) or ``lbfgs`` (an LBFGSState — any
+    NamedTuple of arrays; its fields are stored as ``lbfgs_<field>``) must be
+    given; both optimizers are first-class (the reference treats L-BFGS as
+    such, ref style_transfer.py:464-467).
+    """
+    if (adam is None) == (lbfgs is None):
+        raise ValueError("exactly one of adam= / lbfgs= is required")
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(path.suffix + ".tmp")
@@ -58,12 +67,19 @@ def save_checkpoint(path, *, image, adam, ema, scale_index, done_iters,
     }
     arrays = {
         "image": np.asarray(image),
-        "adam_mu": np.asarray(adam.mu),
-        "adam_nu": np.asarray(adam.nu),
-        "adam_count": np.asarray(adam.count),
         "ema_value": np.asarray(ema.value),
         "ema_accum": np.asarray(ema.accum),
     }
+    if adam is not None:
+        arrays.update(
+            adam_mu=np.asarray(adam.mu),
+            adam_nu=np.asarray(adam.nu),
+            adam_count=np.asarray(adam.count),
+        )
+    else:
+        header["lbfgs_fields"] = list(lbfgs._fields)
+        for name in lbfgs._fields:
+            arrays[f"lbfgs_{name}"] = np.asarray(getattr(lbfgs, name))
     if rng is not None:
         rng_header, rng_keys = pack_rng_state(rng)
         header["rng"] = rng_header
@@ -148,7 +164,7 @@ def load_checkpoint(path):
     with np.load(path) as f:
         out = {k: f[k] for k in f.files}
     header = json.loads(bytes(out.pop("header")).decode())
-    if header.get("version") not in (1, _FORMAT_VERSION):
+    if header.get("version") not in (1, 2, _FORMAT_VERSION):
         raise ValueError(f"unsupported checkpoint version: {header.get('version')}")
     header.setdefault("optimizer", "adam")
     out.update(header)

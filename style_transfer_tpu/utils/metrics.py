@@ -1,15 +1,17 @@
-"""Image fidelity metrics: PSNR, SSIM, and VGG feature distance.
+"""Image fidelity metrics: PSNR, SSIM, LPIPS, and VGG feature distance.
 
 BASELINE.md tracks LPIPS/PSNR of this framework's outputs against reference
-outputs. LPIPS proper needs its learned linear weights (a download); the
-``vgg_distance`` here is the same construction — unit-normalized VGG feature
-differences averaged over layers — with uniform layer weighting, which is the
-standard offline proxy. All functions take HWC float arrays in [0, 1].
+outputs. LPIPS proper needs learned weights (a download): when a local
+bundle resolves (see ``utils/lpips.py``), :func:`perceptual_distance`
+computes the real metric; otherwise it falls back to ``vgg_distance`` — the
+same construction (unit-normalized VGG feature differences averaged over
+layers) with uniform layer weighting, the standard offline proxy — and says
+so. All functions take HWC float arrays in [0, 1].
 """
 
 import numpy as np
 
-__all__ = ["psnr", "ssim", "vgg_distance"]
+__all__ = ["psnr", "ssim", "vgg_distance", "perceptual_distance"]
 
 
 def _check(a, b):
@@ -92,3 +94,17 @@ def vgg_distance(a, b, params=None, layers=(1, 6, 11, 20, 29)) -> float:
         yn = y / (np.linalg.norm(y, axis=-1, keepdims=True) + 1e-10)
         total += np.mean((xn - yn) ** 2)
     return float(total / len(layers))
+
+
+def perceptual_distance(a, b, params=None, lpips_weights=None):
+    """(value, kind): real LPIPS when a weight bundle resolves (explicit
+    path > $STT_LPIPS_WEIGHTS > default locations — utils/lpips.py), else
+    the uniform-weight VGG-distance proxy. ``kind`` is ``"lpips-<net>"`` or
+    ``"vgg_distance_proxy"`` so reports never pass a proxy off as LPIPS."""
+    from . import lpips as lpips_mod
+
+    bundle_path = lpips_mod.find_bundle(lpips_weights)
+    if bundle_path is not None:
+        bundle = lpips_mod.load_bundle(bundle_path)
+        return lpips_mod.lpips(a, b, bundle), f"lpips-{bundle['net']}"
+    return vgg_distance(a, b, params=params), "vgg_distance_proxy"

@@ -49,7 +49,8 @@ def test_fidelity_self_consistency(tmp_path):
     rec = next(l for l in lines if l.get("config") == "c2_pyramid512")
     assert rec["pass"] is True
     assert rec["psnr"] > 50  # identical trajectories
-    assert rec["vgg_distance"] < 1e-4
+    assert rec["perceptual"] < 1e-4
+    assert rec["perceptual_metric"] == "vgg_distance_proxy"
     summary = next(l for l in lines if "summary" in l)["summary"]
     assert summary["compared"] == summary["passed"] == 1
 

@@ -49,7 +49,19 @@ def test_sharded_features_match_unsharded(vgg_params):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
-def test_sharded_full_step_matches_unsharded(vgg_params):
+@pytest.mark.parametrize(
+    "cfg_kw",
+    [
+        {},
+        # The shipped TPU mesh configuration: im2col deep convs with the
+        # conv-transpose backward (engine auto_size_knobs defaults) must be
+        # numerically guarded under sharding, not just compile-guarded by
+        # the no-all-gather assert (ADVICE r4).
+        {"im2col_layers": (10, 19, 28), "im2col_grad": "conv"},
+    ],
+    ids=["default", "im2col-convgrad"],
+)
+def test_sharded_full_step_matches_unsharded(vgg_params, cfg_kw):
     """One fused Adam step, sharded over 8 devices vs single device: the
     whole train-step program (conv halo exchanges, psum'd statistics,
     sqrtm, Adam, EMA) must agree."""
@@ -61,7 +73,7 @@ def test_sharded_full_step_matches_unsharded(vgg_params):
     image = rng.rand(1, 64, 96, 3).astype(np.float32)
     content = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
     style = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
-    cfg = StepConfig(compute_dtype=None)
+    cfg = StepConfig(compute_dtype=None, **cfg_kw)
 
     cf = extract_features(vgg_params, content, cfg.content_layers)
     sf = extract_features(vgg_params, style, cfg.style_layers)

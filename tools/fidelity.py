@@ -79,6 +79,11 @@ def main():
                    help="directory of reference outputs (<config>.png), or a "
                         "single file when exactly one config is selected")
     p.add_argument("--vgg-weights", type=str, default=None)
+    p.add_argument("--lpips-weights", type=str, default=None,
+                   help="LPIPS bundle (.npz from tools/port_lpips.py); when "
+                        "omitted, $STT_LPIPS_WEIGHTS and default locations "
+                        "are searched — real LPIPS is reported whenever a "
+                        "bundle resolves, the VGG-distance proxy otherwise")
     p.add_argument("--configs", type=str, default=None,
                    help="comma list (default: all but c5_print)")
     p.add_argument("--out", type=str, default="fidelity_out")
@@ -103,7 +108,11 @@ def main():
 
     from style_transfer_tpu.engine import StyleTransfer
     from style_transfer_tpu.io_color import load_image
-    from style_transfer_tpu.utils.metrics import psnr, ssim, vgg_distance
+    from style_transfer_tpu.utils.metrics import (
+        perceptual_distance,
+        psnr,
+        ssim,
+    )
 
     content = load_image(args.content)
     styles = [load_image(s) for s in args.styles]
@@ -165,10 +174,13 @@ def main():
             else:
                 rec["psnr"] = round(psnr(ours, ref), 3)
                 rec["ssim"] = round(ssim(ours, ref), 4)
-                rec["vgg_distance"] = round(
-                    vgg_distance(ours, ref, params=params), 5)
+                dist, kind = perceptual_distance(
+                    ours, ref, params=params,
+                    lpips_weights=args.lpips_weights)
+                rec["perceptual"] = round(dist, 5)
+                rec["perceptual_metric"] = kind
                 rec["pass"] = (rec["psnr"] >= PSNR_FLOOR
-                               and rec["vgg_distance"] < LPIPS_PROXY_CEIL)
+                               and rec["perceptual"] < LPIPS_PROXY_CEIL)
                 if not rec["pass"]:
                     failed.append(name)
         else:
@@ -181,7 +193,7 @@ def main():
         "summary": {"run": len(results), "compared": len(compared),
                     "passed": sum(r["pass"] for r in compared),
                     "thresholds": {"psnr_min": PSNR_FLOOR,
-                                   "vgg_distance_max": LPIPS_PROXY_CEIL}},
+                                   "perceptual_max": LPIPS_PROXY_CEIL}},
     }))
     sys.exit(1 if failed else 0)
 

@@ -80,7 +80,7 @@ def profile(h, w, maxpool="auto", iters=20, top=30, **cfg_kw):
         and "jit_" not in str(e.get("name", ""))
         # Whole-trace container rows (a bare step-number name, no HLO
         # category/source) span every real op and double the totals.
-        and ("hlo_category" in e.get("args", {})
+        and ("hlo_category" in (e.get("args") or {})
              or not str(e.get("name", "")).isdigit())
     ]
     buckets = defaultdict(float)
