@@ -300,3 +300,57 @@ def test_bench_knobs_are_engine_knobs():
     for h, w in [(512, 512), (96, 128), (724, 543), (1448, 1086),
                  (2896, 2172), (2172, 2896)]:
         assert st._size_knobs(h, w) == auto_size_knobs(h, w, is_tpu=True)
+
+
+def test_prefetcher_pause_gates_job_starts():
+    """pause() must hold queued jobs (tunnel/GIL quiescence during a scale's
+    chunk loop), get() must run a held job while it blocks (the device is
+    idling on it), and resume() must drain the queue. VERDICT r4 #1."""
+    import threading
+    import time
+
+    from style_transfer_tpu.engine import _AOTPrefetcher
+
+    pf = _AOTPrefetcher(workers=1)
+    ran = []
+
+    def job(tag):
+        def fn():
+            ran.append(tag)
+            return tag
+        return fn
+
+    # Sanity: un-paused jobs run.
+    pf.submit("a", job("a"))
+    assert pf.get("a") == "a"
+
+    pf.pause()
+    pf.submit("b", job("b"))
+    pf.submit("c", job("c"))
+    time.sleep(0.15)
+    assert ran == ["a"], "paused pool must not start queued jobs"
+
+    # get() while paused re-opens the gate so the caller's job can run,
+    # then restores the pause (whether trailing queued jobs also slipped
+    # through the briefly-open gate is timing-dependent and not contractual).
+    assert pf.get("b") == "b"
+    assert "b" in ran
+
+    pf.resume()
+    deadline = time.time() + 5.0
+    while "c" not in ran and time.time() < deadline:
+        time.sleep(0.01)
+    assert "c" in ran, "resume() must drain held jobs"
+
+    # Nested pause: both resumes needed.
+    pf.pause()
+    pf.pause()
+    pf.submit("d", job("d"))
+    pf.resume()
+    time.sleep(0.15)
+    assert "d" not in ran, "nested pause must stay paused after one resume"
+    pf.resume()
+    deadline = time.time() + 5.0
+    while "d" not in ran and time.time() < deadline:
+        time.sleep(0.01)
+    assert "d" in ran
