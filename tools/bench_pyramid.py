@@ -55,15 +55,22 @@ def main():
     st = StyleTransfer(devices=1)
     st.seed(0)
 
-    # Per-scale iteration wall: measured first-callback-to-last within each
-    # scale, so captures/compiles between scales land in overhead_wall.
+    # Per-scale iteration wall from the engine's STIterate.time stamps
+    # (chunk-interpolated), NOT callback wall-clock: callbacks burst at
+    # chunk boundaries, so wall-clock at the first callback of a scale is
+    # really the END of that scale's first chunk — attributing from it
+    # rolled every inter-scale gap (target captures, gated program-load
+    # drains, warm-start resizes) plus the next scale's first chunk into
+    # the PREVIOUS scale's wall (the r5-try1 JSON showed big scales 15-20%
+    # "slower" than their measured per-chunk rate for exactly this reason).
+    # it.time spans cover iteration dispatch + inter-chunk host work only.
     scales = {}
-    cur = [None, None, 0]  # key, first-cb time, iters
+    cur = [None, None, 0, None]  # key, first-iterate time, iters, last time
 
-    def flush(now):
+    def flush():
         if cur[0] is not None:
             key = f"{cur[0][0]}x{cur[0][1]}"
-            wall = now - cur[1]
+            wall = cur[3] - cur[1]
             n = cur[2]
             scales[key] = {
                 "wall": round(wall, 2),
@@ -72,18 +79,18 @@ def main():
             }
 
     def cb(it):
-        now = time.perf_counter()
         key = (it.w, it.h)
         if key != cur[0]:
-            flush(now)
-            cur[0], cur[1], cur[2] = key, now, 1
+            flush()
+            cur[0], cur[1], cur[2] = key, it.time, 1
         else:
             cur[2] += 1
+        cur[3] = it.time
 
     t0 = time.perf_counter()
     st.stylize(content, [style], end_scale=end_scale, callback=cb)
     total = time.perf_counter() - t0
-    flush(time.perf_counter())
+    flush()
 
     iter_wall = sum(s["wall"] for s in scales.values())
     for k, v in scales.items():
