@@ -84,6 +84,21 @@ def _pil_to_nhwc(image: Image.Image, size=None) -> np.ndarray:
     return arr[None]
 
 
+def _pil_to_device_nhwc(image: Image.Image, size=None):
+    """PIL RGB -> DEVICE (1, H, W, 3) f32 in [0,1].
+
+    Uploads the uint8 bytes and converts on device: 4x less traffic than
+    staging f32 on the host first (the 2896x2172 content plane is 75 MB as
+    f32 but 19 MB as uint8 — a real wall-time term per scale on a
+    remote-attached backend), with bit-identical values (uint8 -> f32 is
+    exact and the single f32 divide rounds the same on host and device).
+    """
+    if size is not None and image.size != tuple(size):
+        image = image.resize(tuple(size), Image.BICUBIC)
+    arr = np.asarray(image.convert("RGB"), dtype=np.uint8)[None]
+    return jnp.asarray(arr).astype(jnp.float32) / np.float32(255.0)
+
+
 def _resize_image(x, hw, method: str = "bicubic"):
     """Device-side resize of an NHWC image to (h, w), torch-interpolate
     semantics (ops/resize.py): the reference's scale crossings go through
@@ -156,6 +171,7 @@ def auto_size_knobs(
     n_bands_w: Optional[int] = None,
     paired_early: Optional[bool] = None,
     remat: Optional[bool] = None,
+    band_scan: Optional[bool] = None,
 ) -> dict:
     """All scale-dependent StepConfig knobs for an (h, w) INTERNAL canvas.
 
@@ -185,7 +201,9 @@ def auto_size_knobs(
                 paired_early=paired_early, remat=remat,
             )
             if local["n_bands"] >= 2:
-                return dict(local, shard_bands=True)
+                # The shard-local early trunk runs banded_stats in window
+                # mode inside shard_map, which the scan path doesn't serve.
+                return dict(local, shard_bands=True, band_scan=False)
         # Shard blocks below the banding threshold (or non-divisible dims):
         # plain GSPMD already splits the tensors small; fall through.
 
@@ -297,6 +315,17 @@ def auto_size_knobs(
         # ~14 Mpx comfortably; beyond that, rematerialize.
         return h * w > 14_000_000
 
+    def scan_bands() -> bool:
+        # Interior row bands under lax.scan (ops/banded.banded_stats_scan):
+        # ~2x smaller compiled programs (2896x2172 @18x2: 63 -> 28-30 MB)
+        # but +21-24% execution time (155.8 -> 188-193 ms/iter, r5 A/B:
+        # the backward scan carries the full image cotangent and stacks
+        # per-band residuals) — the exec loss cancels the program-load
+        # saving on the remote-attached backend, so it stays OPT-IN (worth
+        # it only when cold-compile/load time dominates, e.g. one-shot
+        # giant runs on a slow tunnel).
+        return bool(band_scan) if band_scan is not None else False
+
     return dict(
         maxpool_impl=maxpool_impl(),
         im2col_layers=im2col_layers(),
@@ -313,6 +342,7 @@ def auto_size_knobs(
         paired_early=paired(),
         remat=auto_remat(),
         shard_bands=False,
+        band_scan=scan_bands(),
     )
 
 
@@ -888,7 +918,7 @@ class StyleTransfer:
     def _init_image(self, init, content_image, style_images, style_weights, hw):
         ch, cw = hw
         if init == "content":
-            return jnp.asarray(_pil_to_nhwc(content_image, (cw, ch)))
+            return _pil_to_device_nhwc(content_image, (cw, ch))
         if init == "gray":
             x = self._rng.uniform(size=(1, ch, cw, 3)).astype(np.float32)
             return jnp.asarray(x / 255.0 + 0.5)
@@ -1233,7 +1263,7 @@ class StyleTransfer:
                 # Internal (device-side) dims: transposed for wide canvases.
                 ih, iw = ((cw, ch) if self._flip else (ch, cw))
                 content = self._t_img(
-                    jnp.asarray(_pil_to_nhwc(content_image, (cw, ch)))
+                    _pil_to_device_nhwc(content_image, (cw, ch))
                 )
 
                 if resuming_here:
@@ -1357,6 +1387,7 @@ class StyleTransfer:
                 # paths), tracked by ``prefetch_paused``.
                 self._prefetcher.pause()
                 prefetch_paused = True
+                last_chunk_wall = 0.0
                 while done < actual_its:
                     n = min(scale_chunk, actual_its - done)
                     aot = None
@@ -1365,12 +1396,32 @@ class StyleTransfer:
                     with _phase_timer(
                         f"{'chunk1' if first_chunk else 'chunk'}@{scale}x{n}"
                     ):
+                        t_disp = time.perf_counter()
                         if aot is not None:
                             state, losses = aot(self._step_params(), consts, state)
                         else:
                             state, losses = runner(
                                 self._step_params(), consts, state, n)
-                        losses = np.asarray(jax.device_get(losses), np.float64)
+                        # The chunk is dispatched; the device now crunches
+                        # autonomously until the losses fetch below returns,
+                        # leaving the tunnel IDLE for the whole chunk wall
+                        # (1.7-7.8 s at print scales). Re-open the prefetch
+                        # gate for exactly that window so upcoming scales'
+                        # program loads ride it for free — but only when the
+                        # window is long enough to absorb a load's bulk
+                        # (short windows just put the load's tail in front
+                        # of the next dispatch; r5-try1 measured +6-8 s
+                        # outlier chunks from exactly that bleed).
+                        exec_window = last_chunk_wall >= 1.2 and not first_chunk
+                        if exec_window:
+                            self._prefetcher.resume()
+                        try:
+                            losses = np.asarray(
+                                jax.device_get(losses), np.float64)
+                        finally:
+                            if exec_window:
+                                self._prefetcher.pause()
+                        last_chunk_wall = time.perf_counter() - t_disp
                     first_chunk = False
                     # Publish state so callbacks (saves, web preview) see progress.
                     self.image, self.average = state.image, state.ema

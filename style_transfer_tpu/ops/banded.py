@@ -37,14 +37,16 @@ reassociation. ``tests/test_banded.py`` asserts loss and grad equivalence.
 
 from typing import Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..models.weights import CONV_INDICES, POOL_INDICES
 from . import losses as L
 
 __all__ = [
     "receptive_halo", "band_bounds", "pool_stride", "banded_stats",
-    "banded_forward_cut", "DEFAULT_CUT",
+    "banded_stats_scan", "banded_forward_cut", "DEFAULT_CUT",
 ]
 
 # Slab starts must align with the pooling grid of the deepest banded layer;
@@ -149,6 +151,213 @@ def banded_forward_cut(
         v = feats[cut_layer]
         rows.append(v[:, fs:fs + cnt] if axis == 1 else v[:, :, fs:fs + cnt])
     return jnp.concatenate(rows, axis=axis) if len(rows) > 1 else rows[0]
+
+
+def banded_stats_scan(
+    early_fn,
+    late_fn,
+    image,
+    *,
+    style_layers: Sequence[int],
+    n_bands: int,
+    cut_layer: int = DEFAULT_CUT,
+    halo: int = 0,
+    paired_last: int = -1,
+    n_bands_w: int = 0,
+    content_targets: Dict[int, jnp.ndarray] = None,
+    return_cut: bool = False,
+):
+    """:func:`banded_stats` with the uniform interior row bands rolled into
+    one ``lax.scan`` — same values, ~N_bands-times smaller XLA program.
+
+    Why: the unrolled banded step duplicates the whole early trunk per slab
+    (18x2 = 36 copies at 2896x2172), compiling to a 62 MB executable whose
+    device LOAD costs tens of seconds over a remote-attached backend
+    (PERF.md r5 "program-load bill"). Interior row bands are shape-uniform
+    by construction, so the early trunk compiles ONCE inside a scan body
+    and only the two edge bands (whose slabs clamp at the true image
+    edges, reproducing the monolithic padding bit-for-bit) stay unrolled.
+
+    Band geometry differs slightly from :func:`banded_stats` (interior
+    bands are exactly equal-size, remainder quanta go to the edge bands)
+    but the crop/halo correctness argument is identical: owned rows sit
+    ``halo`` away from interior slab edges, and interior slabs never clamp
+    (the first band is at least one ``_QUANTUM`` >= halo tall). Statistics
+    accumulate in the scan carry; the cut activation assembles by
+    ``dynamic_update_slice`` into a preallocated buffer.
+
+    Restrictions vs banded_stats: rows axis only, no window (SPMD) mode,
+    no content taps at or below ``cut_layer`` (the default content layer
+    22 is far above the pool2 cut). The column split (``n_bands_w``) stays
+    unrolled INSIDE the body — both column slabs clamp at a true W edge.
+
+    ``content_targets`` may only name layers ABOVE the cut (they are
+    computed from the monolithic deep trunk). Returns ``(moments,
+    content_acc)`` or ``(moments, {}, cut)`` — banded_stats' contract.
+    """
+    if paired_last >= cut_layer:
+        raise ValueError("paired_last must be below cut_layer")
+    if content_targets and any(l <= cut_layer for l in content_targets):
+        raise ValueError("banded_stats_scan: content taps must be above "
+                         "the cut (use banded_stats)")
+    ext, ext2 = image.shape[1], image.shape[2]
+    early_style = [l for l in style_layers if l <= cut_layer]
+    if halo <= 0:
+        halo = receptive_halo(set(early_style) | {cut_layer})
+    quanta = ext // _QUANTUM
+    n_bands = max(3, min(n_bands, quanta))
+    # Uniform interior bands; the remainder quanta (and the sub-quantum
+    # tail of ext) split between the two edge bands.
+    n_int = n_bands - 2
+    bq = quanta // n_bands
+    first_q = (quanta - n_int * bq) // 2
+    first = first_q * _QUANTUM
+    bsz = bq * _QUANTUM
+    grid2d = n_bands_w >= 2
+    bounds2 = band_bounds(ext2, max(n_bands_w, 1)) if grid2d else (0, ext2)
+    keep_cut = late_fn is not None or return_cut
+    p_cut = pool_stride(cut_layer)
+
+    def _pairspace(layer, off, cnt):
+        if layer <= paired_last:
+            return off // 2, cnt // 2
+        return off, cnt
+
+    def _slab_feats(slab, s, e, s2, traced):
+        """Crop per-layer owned features of a slab spanning rows [s2, s2+
+        slab_h) for a band owning [s, e); s2/s may be traced (interior)."""
+        feats = early_fn(slab)
+        out = {}
+        for layer in sorted(set(early_style) | ({cut_layer} if keep_cut else set())):
+            p = pool_stride(layer)
+            if traced:
+                fs = halo // p  # interior slabs: fixed halo offset
+                cnt = bsz // p
+                v = lax.dynamic_slice_in_dim(feats[layer], fs, cnt, axis=1)
+            else:
+                fs = (s - s2) // p
+                cnt = _owned(ext, s, e, p)
+                v = feats[layer][:, fs:fs + cnt]
+            out[layer] = v
+        return out
+
+    def _cols(slab_row):
+        """Column slabs of a row slab (static W slices)."""
+        if not grid2d:
+            yield slab_row, None
+            return
+        for m in range(len(bounds2) - 1):
+            t, u = bounds2[m], bounds2[m + 1]
+            t2, u2 = max(0, t - halo), min(ext2, u + halo)
+            yield slab_row[:, :, t2:u2], (t, u, t2)
+
+    def _crop_cols(layer, v, colspec):
+        if colspec is None:
+            return v
+        t, u, t2 = colspec
+        p = pool_stride(layer)
+        ft, cnt2 = _pairspace(layer, (t - t2) // p, _owned(ext2, t, u, p))
+        return v[:, :, ft:ft + cnt2]
+
+    def _moments_of(layer, v):
+        if layer <= paired_last:
+            c = v.shape[-1] // 2
+            halves = (v[..., :c], v[..., c:])
+        else:
+            halves = (v,)
+        s = sum(jnp.sum(u.astype(jnp.float32), axis=(1, 2)) for u in halves)
+        o = sum(L.srm_outer(u) for u in halves)
+        return s, o
+
+    def _band(slab_row, s, e, s2, traced):
+        """One row band: returns ({layer: (sum, outer)}, cut_row)."""
+        mom, cut_cols = {}, []
+        for slab, colspec in _cols(slab_row):
+            feats = _slab_feats(slab, s, e, s2, traced)
+            for layer in early_style:
+                v = _crop_cols(layer, feats[layer], colspec)
+                sm, o = _moments_of(layer, v)
+                if layer in mom:
+                    mom[layer] = (mom[layer][0] + sm, mom[layer][1] + o)
+                else:
+                    mom[layer] = (sm, o)
+            if keep_cut:
+                cut_cols.append(_crop_cols(cut_layer, feats[cut_layer], colspec))
+        cut_row = None
+        if keep_cut:
+            cut_row = (jnp.concatenate(cut_cols, axis=2)
+                       if len(cut_cols) > 1 else cut_cols[0])
+        return mom, cut_row
+
+    # --- edge bands (unrolled; slabs clamp at the true image edges) -------
+    last_s = first + n_int * bsz
+    mom_first, cut_first = _band(
+        image[:, 0:first + halo], 0, first, 0, traced=False)
+    mom_last, cut_last = _band(
+        image[:, last_s - halo:ext], last_s, ext, last_s - halo, traced=False)
+
+    cut = None
+    if keep_cut:
+        n, _, _, _ = cut_first.shape
+        w2, c2 = cut_first.shape[2], cut_first.shape[3]
+        cut = jnp.zeros((n, ext // p_cut, w2, c2), cut_first.dtype)
+        cut = lax.dynamic_update_slice_in_dim(cut, cut_first, 0, axis=1)
+        cut = lax.dynamic_update_slice_in_dim(
+            cut, cut_last, last_s // p_cut, axis=1)
+
+    # --- interior bands: ONE compiled body under lax.scan -----------------
+    def body(carry, k):
+        mom_c, cut_c = carry
+        s = first + k * bsz
+        slab_row = lax.dynamic_slice_in_dim(
+            image, s - halo, bsz + 2 * halo, axis=1)
+        mom, cut_row = _band(slab_row, s, None, s - halo, traced=True)
+        mom_c = {
+            l: (mom_c[l][0] + mom[l][0], mom_c[l][1] + mom[l][1])
+            for l in mom_c
+        }
+        if keep_cut:
+            cut_c = lax.dynamic_update_slice_in_dim(
+                cut_c, cut_row, first // p_cut + k * (bsz // p_cut), axis=1)
+        return (mom_c, cut_c), None
+
+    if n_int > 0:
+        mom0 = {
+            l: (jnp.zeros_like(mom_first[l][0]), jnp.zeros_like(mom_first[l][1]))
+            for l in mom_first
+        }
+        (mom_int, cut), _ = lax.scan(
+            body, (mom0, cut), jnp.arange(n_int), length=n_int)
+    else:
+        mom_int = {l: (jnp.zeros_like(s), jnp.zeros_like(o))
+                   for l, (s, o) in mom_first.items()}
+
+    sums = {l: mom_first[l][0] + mom_int[l][0] + mom_last[l][0]
+            for l in mom_first}
+    outers = {l: mom_first[l][1] + mom_int[l][1] + mom_last[l][1]
+              for l in mom_first}
+
+    moments = {}
+    for layer in early_style:
+        p = pool_stride(layer)
+        npix = jnp.asarray((ext // p) * (ext2 // p), jnp.float32)
+        moments[layer] = (sums[layer] / npix, outers[layer] / npix)
+
+    if return_cut:
+        return moments, {}, cut
+    content_acc = {}
+    if late_fn is not None:
+        feats2 = late_fn(cut)
+        for layer in style_layers:
+            if layer > cut_layer:
+                moments[layer] = L.w2_moments(feats2[layer])
+        for layer, tgt in (content_targets or {}).items():
+            diff = (feats2[layer].astype(jnp.float32)
+                    - tgt.astype(jnp.float32))
+            content_acc[layer] = (
+                jnp.sum(jnp.square(diff)), jnp.sum(jnp.abs(diff)), diff.size
+            )
+    return moments, content_acc
 
 
 def banded_stats(

@@ -91,6 +91,14 @@ class StepConfig:
     # halo-slab grid): squarer slabs keep the paired pool/early trunk
     # formulations eligible at giant widths (ops/banded.py).
     n_bands_w: int = 0
+    # Roll the uniform interior row bands into one lax.scan body
+    # (ops/banded.banded_stats_scan): same values, ~2x smaller compiled
+    # program (2896x2172 @18x2: 63 -> 28-30 MB) at +21-24% execution time
+    # (155.8 -> 188-193 ms/iter, r5 A/B) — opt-in, for cases where cold
+    # compile/load time dominates (one-shot giant runs over a slow remote
+    # attach). Row banding without early content taps only; silently
+    # falls back to unrolled otherwise.
+    band_scan: bool = False
     # Conv layers to run as explicit im2col matmuls (vgg._conv_im2col):
     # sidesteps XLA's conv-emitter layout pathologies, e.g. conv3_1 (10)
     # right after the pool2 cut at print sizes.
@@ -338,6 +346,25 @@ def build_loss_fn(cfg: StepConfig, mesh=None):
                 early_fn = jax.checkpoint(early_fn)
                 late_fn = jax.checkpoint(late_fn)
             axis = 1 if cfg.band_axis == 0 else cfg.band_axis
+            if (cfg.band_scan and axis == 1 and cfg.n_bands >= 3
+                    and all(l > cut for l in cfg.content_layers)):
+                from .ops.banded import banded_stats_scan
+
+                moments, content_acc = banded_stats_scan(
+                    early_fn, late_fn if late_taps else None, image,
+                    style_layers=cfg.style_layers,
+                    n_bands=cfg.n_bands,
+                    cut_layer=cut,
+                    halo=cfg.band_halo,
+                    paired_last=PAIRED_LAST if cfg.paired_early else -1,
+                    n_bands_w=cfg.n_bands_w,
+                    content_targets={
+                        l: consts["content"][l] for l in cfg.content_layers
+                    },
+                )
+                tv = L.tv_loss(image)
+                return (content_total(content_acc)
+                        + style_total(moments, consts) + cfg.tv_weight * tv)
             moments, content_acc = banded_stats(
                 early_fn, late_fn if late_taps else None, image,
                 style_layers=cfg.style_layers,

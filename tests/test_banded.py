@@ -104,6 +104,38 @@ def test_banded_matches_monolithic(style_loss, content_loss, band_cut):
     np.testing.assert_allclose(gb, gm, rtol=5e-4, atol=1e-7)
 
 
+@pytest.mark.parametrize(
+    "h,w,n_bands,n_bands_w,paired",
+    [
+        (256, 96, 4, 0, False),   # plain row scan
+        (256, 96, 5, 0, False),   # uneven interior split (15 quanta / 5)
+        (250, 93, 4, 0, False),   # sub-quantum tail rows in the last band
+        (256, 128, 4, 2, False),  # 2D grid: columns unrolled inside body
+        (256, 128, 4, 2, True),   # + width-paired early trunk
+    ],
+)
+def test_banded_scan_matches_unrolled(h, w, n_bands, n_bands_w, paired):
+    """band_scan=True (interior bands under lax.scan) == the unrolled
+    banded path == the monolithic path, loss and grad."""
+    rng = np.random.RandomState(1)
+    params = {k: jnp.asarray(v) for k, v in random_params(0).items()}
+    image = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    content = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    style = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    base = StepConfig(compute_dtype=None)
+    consts = _consts(params, base, content, style)
+    kw = dict(compute_dtype=None, n_bands=n_bands, n_bands_w=n_bands_w,
+              paired_early=paired)
+    unrolled = StepConfig(**kw)
+    scanned = StepConfig(band_scan=True, **kw)
+    lm, gm = jax.value_and_grad(build_loss_fn(base))(image, params, consts)
+    lu, gu = jax.value_and_grad(build_loss_fn(unrolled))(image, params, consts)
+    ls, gs = jax.value_and_grad(build_loss_fn(scanned))(image, params, consts)
+    np.testing.assert_allclose(ls, lm, rtol=2e-5)
+    np.testing.assert_allclose(gs, gm, rtol=5e-4, atol=1e-7)
+    np.testing.assert_allclose(ls, lu, rtol=2e-5)
+
+
 def test_banded_odd_dims_match():
     """H not a multiple of the band quantum and odd W: bounds quantize,
     floor-pooling still matches the monolithic trunk row-for-row."""
