@@ -72,8 +72,8 @@ class _phase_timer:
 
     def __exit__(self, *exc):
         if _DEBUG_TIMING:
-            print(f"[timing] {self.name}: {time.perf_counter() - self.t0:.2f}s",
-                  flush=True)
+            print(f"[timing] {self.name}: {time.perf_counter() - self.t0:.2f}s"
+                  f" @{time.time():.2f}", flush=True)
 
 
 def _pil_to_nhwc(image: Image.Image, size=None) -> np.ndarray:
@@ -385,7 +385,7 @@ class _AOTPrefetcher:
             self.done = threading.Event()
             self.result = None
 
-    def __init__(self, workers: int = 2):
+    def __init__(self, workers: int = 2, sync: Optional[bool] = None):
         import queue
 
         self._q = queue.Queue()
@@ -394,6 +394,16 @@ class _AOTPrefetcher:
         self._gate = threading.Event()
         self._gate.set()
         self._pause_depth = 0
+        # STT_PREFETCH_SYNC: no worker threads; submit() records the job and
+        # get() runs it inline (memoized). Same compiles, same results, zero
+        # background compilation — the test suite sets this because an XLA
+        # CPU compile on a leftover daemon worker racing a later test's own
+        # compiles/torch work segfaulted the interpreter once in ~5 full
+        # runs (r5; fatal stack: backend_compile on an stt-aot thread).
+        self._sync = (bool(os.environ.get("STT_PREFETCH_SYNC"))
+                      if sync is None else sync)
+        if self._sync:
+            return
         for i in range(workers):
             threading.Thread(
                 target=self._worker, name=f"stt-aot-{i}", daemon=True
@@ -428,7 +438,8 @@ class _AOTPrefetcher:
                 return
             job = self._Job(make_fn)
             self._jobs[key] = job
-        self._q.put(job)
+        if not self._sync:
+            self._q.put(job)
 
     @staticmethod
     def _describe_key(key):
@@ -454,6 +465,14 @@ class _AOTPrefetcher:
             job = self._jobs.get(key)
         if job is None:
             return None
+        if self._sync:
+            if not job.done.is_set():
+                try:
+                    job.result = job.fn()
+                except Exception:
+                    job.result = None
+                job.done.set()
+            return job.result
         if not job.done.is_set():
             # The caller is about to idle on this program: open the gate so
             # paused workers can run it (the queue is nearest-first, so the
@@ -518,6 +537,7 @@ class StyleTransfer:
         n_bands: Optional[int] = None,
         n_bands_w: Optional[int] = None,
         paired_early: Optional[bool] = None,
+        band_scan: Optional[bool] = None,
         transpose_wide: Optional[bool] = None,
         callback_chunk: int = 50,
     ):
@@ -572,6 +592,7 @@ class StyleTransfer:
         self.n_bands = n_bands
         self.n_bands_w = n_bands_w
         self.paired_early = paired_early
+        self.band_scan = band_scan
         # Landscape canvases run internally TRANSPOSED (portrait): a 3x3
         # conv of the transposed image with the spatially-transposed kernel
         # is exactly the transposed convolution, and every other op in the
@@ -712,6 +733,7 @@ class StyleTransfer:
             n_bands_w=self.n_bands_w,
             paired_early=self.paired_early,
             remat=self.remat,
+            band_scan=self.band_scan,
         )
 
     def _n_bands(self, h, w) -> int:
@@ -1262,19 +1284,21 @@ class StyleTransfer:
                 cw, ch = self.canvas(content_image.size, scale, align)
                 # Internal (device-side) dims: transposed for wide canvases.
                 ih, iw = ((cw, ch) if self._flip else (ch, cw))
-                content = self._t_img(
-                    _pil_to_device_nhwc(content_image, (cw, ch))
-                )
-
-                if resuming_here:
-                    self.average = EMAState(
-                        value=jnp.asarray(resume_state["ema_value"]),
-                        accum=jnp.asarray(resume_state["ema_accum"]),
+                with _phase_timer(f"scale-entry@{scale}"):
+                    content = self._t_img(
+                        _pil_to_device_nhwc(content_image, (cw, ch))
                     )
-                else:
-                    self.image = jnp.clip(_resize_image(self.image, (ih, iw)), 0.0, 1.0)
-                    self.image = shard_image(self.image, self.mesh)
-                    self.average = ema_init(self.image, avg_decay)
+
+                    if resuming_here:
+                        self.average = EMAState(
+                            value=jnp.asarray(resume_state["ema_value"]),
+                            accum=jnp.asarray(resume_state["ema_accum"]),
+                        )
+                    else:
+                        self.image = jnp.clip(
+                            _resize_image(self.image, (ih, iw)), 0.0, 1.0)
+                        self.image = shard_image(self.image, self.mesh)
+                        self.average = ema_init(self.image, avg_decay)
 
                 cfg = StepConfig(
                     content_layers=tuple(self.content_layers),
@@ -1482,8 +1506,9 @@ class StyleTransfer:
                     opt_state = state.opt
                 # Each new scale starts from the previous scale's averaged iterate
                 # (ref :495-497).
-                self.image = jnp.clip(ema_get(state.ema), 0.0, 1.0)
-                self.average = state.ema
+                with _phase_timer(f"scale-exit@{scale}"):
+                    self.image = jnp.clip(ema_get(state.ema), 0.0, 1.0)
+                    self.average = state.ema
 
         finally:
             if prefetch_paused:
@@ -1493,7 +1518,8 @@ class StyleTransfer:
                     ckpt_writer.close()
                 except Exception as err:
                     print(f"Warning: checkpoint write failed: {err}")
-        return self.get_image()
+        with _phase_timer("final-image"):
+            return self.get_image()
 
 
 def tensor_to_image(arr, image_type: str = "pil"):

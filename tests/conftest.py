@@ -15,6 +15,12 @@ _FLAG = "--xla_force_host_platform_device_count=8"
 if _FLAG not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + _FLAG).strip()
 
+# No background AOT-prefetch compile threads under test: a leftover daemon
+# worker's XLA CPU compile racing a later test's compiles/torch work
+# segfaulted the interpreter (rare, r5). Sync mode runs the same jobs
+# inline at get() — identical results, deterministic scheduling.
+os.environ.setdefault("STT_PREFETCH_SYNC", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -311,7 +311,9 @@ def test_prefetcher_pause_gates_job_starts():
 
     from style_transfer_tpu.engine import _AOTPrefetcher
 
-    pf = _AOTPrefetcher(workers=1)
+    # sync=False: this test is ABOUT the threaded gating (conftest puts the
+    # suite in STT_PREFETCH_SYNC mode, which has no worker pool to gate).
+    pf = _AOTPrefetcher(workers=1, sync=False)
     ran = []
 
     def job(tag):
