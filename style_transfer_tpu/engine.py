@@ -208,19 +208,21 @@ def auto_size_knobs(
         # plain GSPMD already splits the tensors small; fall through.
 
     def maxpool_impl() -> str:
-        # Canvas-level decision (r4 sweep, shipping knobs, v5e): 'first'
-        # (W-pair/H-pair first_max decomposition, no select_and_scatter)
-        # wins at EVERY measured scale >= 724px — 2896x2172 158.5 vs 163.0
-        # ms/iter, 2048 71.0 vs 74.7, 1448 34.9 vs 36.0, 1024 16.6 vs 17.3,
-        # 724 10.0 vs 10.3 — while 'paired' (lane-merged W-pair + H-pair
-        # reduce_window) keeps only the genuinely small 512-class canvas
-        # (6.48 vs 7.12). Per-pool 'auto' rules based on each pool's own
-        # input shape were tried twice and lose above 512px: deep pools at
-        # 1024-2896 share shapes with early pools at 512 but sit in a
-        # different step regime, so the canvas is the right granularity.
-        if not is_tpu:
-            return "xla"
-        return "paired" if h * w <= 320_000 else "first"
+        # Canvas-level decision: 'first' (W-pair/H-pair first_max
+        # decomposition, no select_and_scatter) wins at EVERY canvas on
+        # v5e. r4 measured it at every scale >= 724px (2896x2172 158.5 vs
+        # 163.0 ms/iter, 2048 71.0 vs 74.7, 1448 34.9 vs 36.0, 1024 16.6
+        # vs 17.3, 724 10.0 vs 10.3) and kept 'paired' for the 512 class;
+        # the r5 re-sweep under the since-changed co-knobs (im2col_grad
+        # 'conv', conv4_1 im2col) flipped the small canvases too —
+        # 512x512: first 5.91 vs paired 6.21; 362x272: 2.77 vs 2.84;
+        # 256x192: 1.59 vs 1.69 ms/iter. Per-pool 'auto' rules based on
+        # each pool's own input shape were tried twice and lose above
+        # 512px (deep pools at 1024-2896 share shapes with early pools at
+        # 512 but sit in a different step regime); pool1 under the paired
+        # trunk keeps its halved reduce_window regardless (r5 'first+p1'
+        # A/B: slower everywhere — see vgg._pool_max_from_paired).
+        return "first" if is_tpu else "xla"
 
     def im2col_layers() -> tuple:
         # conv3_1 / conv5_1 (torchvision 10 / 28) as explicit im2col

@@ -249,20 +249,16 @@ def _conv_paired(x, kernel, bias):
     return y + b2
 
 
-def _pool_max_from_paired(x, impl: str = "xla"):
+def _pool_max_from_paired(x):
     """2x2/2 max pool of a width-paired tensor -> standard (N, H/2, W/2, C).
-    The W-pair max is an elementwise max of the channel halves; with
-    ``impl='first'`` the H-pair reduction is an elementwise ``first_max``
-    (select backward, torch-exact row-major tie routing; wins the 512-class
-    canvas in the r5 sweep), otherwise a (2,1) reduce_window whose
-    select_and_scatter backward runs over half a standard window's volume
-    (the giant-canvas winner: an r4 s&s-free variant measured +13 ms at
-    2896x2172 — the pre-pool reshape forces whole-slab relayouts there)."""
-    from ..ops.pooling import _h2_first, first_max
-
+    The W-pair max is an elementwise max of the channel halves; only the
+    H-pair reduction needs a (2,1) reduce_window, so the select_and_scatter
+    backward runs over half the volume of a standard 2x2 window. Routing
+    the H-pair through ``first_max`` instead (select backward) was measured
+    TWICE and loses at every canvas (r4: +13 ms at 2896x2172 with a
+    recompute backward; r5 'first+p1': 512px 6.26 vs 5.91, giant 162.2 vs
+    155.8 ms/iter) — the halved reduce_window stays."""
     c = x.shape[-1] // 2
-    if impl == "first":
-        return _h2_first(first_max(x[..., :c], x[..., c:]))
     m = jnp.maximum(x[..., :c], x[..., c:])
     return lax.reduce_window(
         m, -jnp.inf, lax.max, (1, 2, 1, 1), (1, 2, 1, 1), "VALID"
@@ -459,12 +455,7 @@ def extract_features(
                     x, params[f"conv{i}_kernel"], params[f"conv{i}_bias"])
             elif i in _POOL_SET:  # pool1 folds back to the standard layout
                 if pooling == "max":
-                    # 'first+p1' routes pool1's H-pair through first_max
-                    # too (select backward) — the 512-class canvas winner;
-                    # plain 'first' keeps the halved reduce_window here
-                    # (giant band slabs regress with the select form).
-                    x = _pool_max_from_paired(
-                        x, "first" if pool_impl == "first+p1" else "xla")
+                    x = _pool_max_from_paired(x)
                 else:
                     x = pool2x2(unpair_width(x), pooling, "xla")
                     x = x * jnp.asarray(pool_scale, x.dtype)
@@ -484,7 +475,7 @@ def extract_features(
             if masked:
                 x = _edge_mask(x, valid_rows, valid_cols, stride, pair_w=False)
         elif i in _POOL_SET:
-            impl = "first" if pool_impl == "first+p1" else pool_impl
+            impl = pool_impl
             if sharded and pooling == "max":
                 # GSPMD path (spatially sharded activations): only the
                 # reduce_window + select_and_scatter formulation partitions
