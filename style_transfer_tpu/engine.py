@@ -331,14 +331,16 @@ def auto_size_knobs(
     return dict(
         maxpool_impl=maxpool_impl(),
         im2col_layers=im2col_layers(),
-        # Backward of the im2col deep convs as ONE conv-emitter call
-        # (conv-transpose identity) instead of the patch-matrix cotangent
-        # + 9-way split + shifted pad-adds autodiff emits. Measured v5e
-        # (r4, shipping knobs): 512x512 8.16 -> 7.20 ms/iter (-12%),
-        # 2896x2172 157.9 -> 155.5 (-1.5%) — the backward conv has regular
-        # C-in/C-out shapes the emitter runs at full throughput, unlike
-        # the FORWARD shapes the im2col formulation dodges.
-        im2col_grad="conv" if is_tpu else "patch",
+        # Backward of the im2col deep convs: 'conv' = ONE conv-emitter
+        # call (conv-transpose identity), 'patch' = plain autodiff
+        # (patch-matrix cotangent + split/pad-adds). r4 measured 'conv'
+        # winning big under the then-shipping paired pools (512x512 8.16
+        # -> 7.20 ms/iter); the r5 re-sweep under 'first' pools flips the
+        # small-canvas sign — 512x512 patch 5.86-5.88 vs conv 5.91-5.95
+        # over 3 alternating A/B rounds — while the giant canvas still
+        # wants 'conv' (2896x2172: 155.8 vs 158.2 patch). Threshold at
+        # the re-measured 512 class; >= 724px keeps the r4 choice.
+        im2col_grad=("patch" if not is_tpu or h * w <= 320_000 else "conv"),
         n_bands=bands(),
         n_bands_w=bands_w(),
         paired_early=paired(),
