@@ -1088,12 +1088,27 @@ class StyleTransfer:
 
             consts_in = jax.tree.map(zeros, self._consts_struct(cfg, ch, cw))
             img = shard_image(jnp.zeros((1, ch, cw, 3), jnp.float32), self.mesh)
+            # EVERY image-shaped leaf that arrives COMMITTED at runtime
+            # must be lowered from the same placement shard_image resolves
+            # (the pyramid's odd sizes fall back to replicated): a plain
+            # uncommitted zeros dummy lets the compiler CHOOSE that input's
+            # sharding, and calling the compiled program with a committed
+            # replicated ema.value then fails the sharding check (r5
+            # regression — the lbfgs refactor dropped ema.value from this
+            # list). Runtime-uncommitted leaves (the lbfgs history stack)
+            # may stay plain zeros: uncommitted call args adopt whatever
+            # the compiled program requires.
             state_in = jax.tree.map(
                 zeros, self._state_struct(ch, cw, optimizer)
             )._replace(image=img)
+            state_in = state_in._replace(
+                ema=state_in.ema._replace(value=img))
             if optimizer == "adam":
                 state_in = state_in._replace(
                     opt=state_in.opt._replace(mu=img, nu=img))
+            else:  # lbfgs_init derives d/prev_grad from the placed image
+                state_in = state_in._replace(
+                    opt=state_in.opt._replace(d=img, prev_grad=img))
         for n in self._aot_chunks(ch, cw, actual_its):
             key = (cfg, ch, cw, n, optimizer)
 
