@@ -89,3 +89,31 @@ def test_progress_bar_lazy_on_resume(monkeypatch):
     assert cb.progress.n == 12
     cb(iterate(64, 48, 20, 20))  # finish: bar closed and reset
     assert cb.progress is None
+
+
+def test_peak_device_ram_scale_windowing():
+    """gpu_ram telemetry: with a scale-start baseline, iterates report the
+    global HBM peak only if it rose during the current scale, else current
+    usage — so pyramid scales after the biggest one stay distinguishable
+    (VERDICT r4: the raw high-water mark made them all identical)."""
+    from style_transfer_tpu.utils.trace import peak_device_ram
+
+    class Dev:
+        def __init__(self, peak, cur):
+            self._s = {"peak_bytes_in_use": peak, "bytes_in_use": cur}
+
+        def memory_stats(self):
+            return self._s
+
+    # No baseline: the reference-parity process-lifetime peak.
+    assert peak_device_ram([Dev(100, 40)]) == 100
+    # Peak rose during this scale -> report it.
+    assert peak_device_ram([Dev(100, 40)], baseline_peak=80) == 100
+    # Peak set by an earlier (bigger) scale -> report current usage.
+    assert peak_device_ram([Dev(100, 40)], baseline_peak=100) == 40
+    # Unsupported backend stays 0.
+    class NoStats:
+        def memory_stats(self):
+            raise RuntimeError
+
+    assert peak_device_ram([NoStats()], baseline_peak=5) == 0

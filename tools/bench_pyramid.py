@@ -45,6 +45,27 @@ def main():
         del args[i:i + 2]
     end_scale = int(args[0]) if args else 2896
 
+    # The remote-TPU attach can WEDGE for many minutes at the first device
+    # touch (PERF.md "session-attach stall"; three consecutive runs this
+    # round ate 226/1282/435 s of it). Probe in disposable subprocesses
+    # until one attaches fast — the wedge is remote-side state that often
+    # clears between probes — so the timed run below starts healthy.
+    from __graft_entry__ import _probe_real_device_count
+
+    deadline = time.monotonic() + 1200.0
+    attempt = 0
+    while True:
+        attempt += 1
+        if _probe_real_device_count(timeout=240.0) > 0:
+            break
+        if time.monotonic() >= deadline:
+            print(f"bench_pyramid: no healthy attach after {attempt} probes; "
+                  "proceeding anyway", file=sys.stderr)
+            break
+        print(f"bench_pyramid: attach probe {attempt} failed; retrying",
+              file=sys.stderr)
+        time.sleep(30.0)
+
     from style_transfer_tpu.engine import StyleTransfer
 
     rng = np.random.RandomState(0)
