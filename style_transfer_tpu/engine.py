@@ -60,9 +60,24 @@ __all__ = ["StyleTransfer", "auto_size_knobs"]
 
 _DEBUG_TIMING = bool(os.environ.get("STT_DEBUG_TIMING"))
 
+# Cumulative seconds per phase name, always collected (the contextmanager
+# cost is one perf_counter pair — noise next to any phase worth timing).
+# ``phase_totals`` lets callers (tools/bench_pyramid.py) attribute a run's
+# non-iterating wall to engine phases vs untimed gaps (attach stalls,
+# program-load drains between chunks).
+_PHASE_TOTALS: dict = {}
+
+
+def phase_totals(reset: bool = False) -> dict:
+    """Snapshot {phase name: cumulative seconds}; optionally reset."""
+    out = dict(_PHASE_TOTALS)
+    if reset:
+        _PHASE_TOTALS.clear()
+    return out
+
 
 class _phase_timer:
-    """Prints phase durations when STT_DEBUG_TIMING is set (diagnostics)."""
+    """Accumulates phase wall time; prints it when STT_DEBUG_TIMING is set."""
 
     def __init__(self, name):
         self.name = name
@@ -71,8 +86,10 @@ class _phase_timer:
         self.t0 = time.perf_counter()
 
     def __exit__(self, *exc):
+        dur = time.perf_counter() - self.t0
+        _PHASE_TOTALS[self.name] = _PHASE_TOTALS.get(self.name, 0.0) + dur
         if _DEBUG_TIMING:
-            print(f"[timing] {self.name}: {time.perf_counter() - self.t0:.2f}s"
+            print(f"[timing] {self.name}: {dur:.2f}s"
                   f" @{time.time():.2f}", flush=True)
 
 

@@ -66,7 +66,7 @@ def main():
               file=sys.stderr)
         time.sleep(30.0)
 
-    from style_transfer_tpu.engine import StyleTransfer
+    from style_transfer_tpu.engine import StyleTransfer, phase_totals
 
     rng = np.random.RandomState(0)
     content = Image.fromarray(
@@ -108,10 +108,24 @@ def main():
             cur[2] += 1
         cur[3] = it.time
 
+    phase_totals(reset=True)
     t0 = time.perf_counter()
     st.stylize(content, [style], end_scale=end_scale, callback=cb)
     total = time.perf_counter() - t0
     flush()
+
+    # Attribute the run's wall to engine phases, grouped by family
+    # ("targets@512" and "targets@2896" both land in "targets"; "chunk"/
+    # "chunk1" cover the dispatch+fetch of the iteration chunks and should
+    # track iter_wall). Indented names are nested detail rows inside a
+    # parent phase — skip them or they'd double-count the family. What no
+    # phase covers is "untimed": startup/attach and inter-phase gaps.
+    phases = {}
+    for name, secs in phase_totals().items():
+        if name.startswith(" "):
+            continue
+        fam = name.split("@")[0]
+        phases[fam] = round(phases.get(fam, 0.0) + secs, 2)
 
     iter_wall = sum(s["wall"] for s in scales.values())
     for k, v in scales.items():
@@ -119,6 +133,10 @@ def main():
               f"{v['ms_per_iter']:.1f} ms/iter)", file=sys.stderr)
     print(f"TOTAL pyramid to {end_scale}: {total:.1f}s "
           f"(in-scale {iter_wall:.1f}s, overhead {total - iter_wall:.1f}s)",
+          file=sys.stderr)
+    ph = ", ".join(f"{k} {v:.1f}s" for k, v in
+                   sorted(phases.items(), key=lambda kv: -kv[1]))
+    print(f"phases: {ph}; untimed {total - sum(phases.values()):.1f}s",
           file=sys.stderr)
     record = {
         "metric": "pyramid_wall",
@@ -128,6 +146,8 @@ def main():
         "label": label,
         "iter_wall": round(iter_wall, 2),
         "overhead_wall": round(total - iter_wall, 2),
+        "phases": phases,
+        "untimed": round(total - sum(phases.values()), 2),
         "scales": scales,
     }
     line = json.dumps(record)
