@@ -40,7 +40,8 @@ def candidates(h: int, w: int, base: dict):
         cand["paired_early"] = [True, False]
     nb = base.get("n_bands", 0)
     if nb >= 2:
-        steps = sorted({max(2, round(nb * f)) for f in (0.75, 1.0, 1.25)})
+        steps = sorted({max(2, round(nb * f)) for f in (0.75, 1.0, 1.25)}
+                       | {0})  # always offer the unbanded trunk too
         cand["n_bands"] = steps
         nbw = base.get("n_bands_w", 0)
         cand["n_bands_w"] = sorted({0, nbw, 2, 3} - {1})

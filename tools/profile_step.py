@@ -119,7 +119,7 @@ def profile(h, w, maxpool="auto", iters=20, top=30, **cfg_kw):
 def main():
     h = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    maxpool = sys.argv[3] if len(sys.argv) > 3 else "paired"
+    maxpool = sys.argv[3] if len(sys.argv) > 3 else "auto"
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 20
     cfg_kw = {}
     for kv in sys.argv[5:]:
