@@ -63,9 +63,12 @@ def content_files(tmp_path):
     return c, s
 
 
-def test_main_end_to_end_proof(tmp_path, content_files):
+def test_main_end_to_end_proof(tmp_path, monkeypatch, content_files):
     """--proof CMYK soft-proofing runs the full src -> CMYK -> sRGB load
-    path (ref cli.py:41-43) with the committed hand-built CMYK fixture."""
+    path (ref cli.py:41-43) with the committed hand-built CMYK fixture.
+    Runs chdir'd into tmp_path: without --trace the CLI writes ./trace.json
+    (reference parity), which must not land in the repo."""
+    monkeypatch.chdir(tmp_path)
     content, style = content_files
     out = tmp_path / "out.png"
     proof = __file__.rsplit("/", 1)[0] + "/golden/naive_cmyk.icc"

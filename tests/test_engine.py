@@ -356,3 +356,25 @@ def test_prefetcher_pause_gates_job_starts():
     while "d" not in ran and time.time() < deadline:
         time.sleep(0.01)
     assert "d" in ran
+
+
+def test_phase_totals_accumulate_and_reset(content_pil, style_pil):
+    """engine.phase_totals feeds bench_pyramid's per-phase overhead
+    attribution: a run must register the standard phase families (targets,
+    scale-entry, chunk, final-image), nested detail rows keep their
+    indented names, and reset=True clears the store."""
+    from style_transfer_tpu.engine import phase_totals
+
+    phase_totals(reset=True)
+    st = make_engine()
+    st.stylize(content_pil, [style_pil], min_scale=64, end_scale=64,
+               iterations=4, initial_iterations=4)
+    ph = phase_totals()
+    fams = {k.split("@")[0] for k in ph if not k.startswith(" ")}
+    assert {"targets", "scale-entry", "final-image"} <= fams
+    assert any(f.startswith("chunk") for f in fams)
+    assert all(v >= 0.0 for v in ph.values())
+    # nested target sub-phases are indentation-marked (bench skips them)
+    assert any(k.startswith("  targets:") for k in ph)
+    phase_totals(reset=True)
+    assert phase_totals() == {}
