@@ -1454,100 +1454,127 @@ class StyleTransfer:
                 self._prefetcher.pause()
                 prefetch_paused = True
                 last_chunk_wall = 0.0
+
+                # One-chunk software pipeline: chunk N+1 is DISPATCHED
+                # before chunk N's losses are fetched, so the per-chunk
+                # host/tunnel round-trip (losses fetch, callbacks, ~10-15
+                # ms on the remote attach) overlaps device execution
+                # instead of serializing with it (512px: 0.27 ms/iter of
+                # the 5.6 ms wall was this gap). The runner donates its
+                # state, so everything published from chunk N — the
+                # image/EMA handles callbacks and the web preview read,
+                # and checkpoint snapshots — is captured as DEVICE-side
+                # copies between N's dispatch and N+1's (sub-ms enqueues;
+                # the originals feed the next chunk).
+                pending = None
+
+                def _drain(entry):
+                    nonlocal t_prev, last_chunk_wall
+                    (n, losses_dev, pub_image, pub_ema, snap, done_after,
+                     t_disp, phase_name) = entry
+                    # The device still holds queued work past this fetch
+                    # (the next chunk is already dispatched), leaving the
+                    # tunnel idle while it crunches: re-open the prefetch
+                    # gate for the fetch so upcoming scales' program loads
+                    # ride the window — but only at scales whose chunk
+                    # wall is long enough to absorb a load's bulk (short
+                    # windows just put the load's tail in front of the
+                    # next dispatch; r5-try1 measured +6-8 s outlier
+                    # chunks). Gate on the static pixel count, not the
+                    # measured wall: a load drain inside an early chunk's
+                    # get() inflates the measured wall and would open
+                    # windows at tiny scales (r5-try7: a 13 s bleed into
+                    # the second 128px chunk). last_chunk_wall starts 0.0,
+                    # so the first chunk never opens the window.
+                    exec_window = (ih * iw >= 1_400_000
+                                   and last_chunk_wall >= 1.2)
+                    with _phase_timer(phase_name):
+                        if exec_window:
+                            self._prefetcher.resume()
+                        try:
+                            losses = np.asarray(
+                                jax.device_get(losses_dev), np.float64)
+                        finally:
+                            if exec_window:
+                                self._prefetcher.pause()
+                        last_chunk_wall = time.perf_counter() - t_disp
+                    # Publish state so callbacks (saves, web preview) see
+                    # progress (the copies — the originals are donated).
+                    self.image, self.average = pub_image, pub_ema
+                    t_now = time.time()
+                    # Submit the snapshot BEFORE callbacks so an interrupt
+                    # raised by a callback still leaves a resumable
+                    # checkpoint (the finally below flushes the in-flight
+                    # write); the writer thread fetches and writes while
+                    # the device crunches subsequent chunks (a synchronous
+                    # device_get here cost 4.3 s at 1448x1086 over the
+                    # remote-attached backend).
+                    if snap is not None:
+                        if ckpt_writer.error is not None:
+                            print("Warning: checkpoint write failed: "
+                                  f"{ckpt_writer.error}")
+                            ckpt_writer.error = None
+                        ckpt_writer.submit(
+                            checkpoint,
+                            scale_index=scale_idx,
+                            done_iters=done_after,
+                            meta={"w": cw, "h": ch, "scale": scale,
+                                  "transposed": self._flip},
+                            optimizer=optimizer,
+                            rng=_snapshot_rng(self._rng),
+                            **snap,
+                        )
+                    if callback is not None:
+                        ram = peak_device_ram(self.devices, ram_baseline)
+                        for k in range(n):
+                            callback(
+                                STIterate(
+                                    w=cw, h=ch, i=done_after - n + k + 1,
+                                    i_max=actual_its,
+                                    loss=float(losses[k]),
+                                    time=t_prev + (t_now - t_prev) * (k + 1) / n,
+                                    gpu_ram=ram,
+                                )
+                            )
+                    t_prev = t_now
+
                 while done < actual_its:
                     n = min(scale_chunk, actual_its - done)
                     aot = None
                     if optimizer in ("adam", "lbfgs"):
                         aot = self._prefetcher.get((cfg, ih, iw, n, optimizer))
-                    with _phase_timer(
-                        f"{'chunk1' if first_chunk else 'chunk'}@{scale}x{n}"
-                    ):
+                    phase_name = (f"{'chunk1' if first_chunk else 'chunk'}"
+                                  f"@{scale}x{n}")
+                    with _phase_timer(phase_name):
                         t_disp = time.perf_counter()
                         if aot is not None:
                             state, losses = aot(self._step_params(), consts, state)
                         else:
                             state, losses = runner(
                                 self._step_params(), consts, state, n)
-                        # The chunk is dispatched; the device now crunches
-                        # autonomously until the losses fetch below returns,
-                        # leaving the tunnel IDLE for the whole chunk wall
-                        # (1.7-7.8 s at print scales). Re-open the prefetch
-                        # gate for exactly that window so upcoming scales'
-                        # program loads ride it for free — but only at
-                        # scales whose PURE chunk wall is long enough to
-                        # absorb a load's bulk (short windows just put the
-                        # load's tail in front of the next dispatch;
-                        # r5-try1 measured +6-8 s outlier chunks from that
-                        # bleed). Gate on the static pixel count, not the
-                        # measured wall: a load drain inside an early
-                        # chunk's get() inflates the measured wall and
-                        # would open windows at tiny scales (r5-try7:
-                        # a 13 s bleed into the second 128px chunk).
-                        exec_window = (ih * iw >= 1_400_000
-                                       and last_chunk_wall >= 1.2
-                                       and not first_chunk)
-                        if exec_window:
-                            self._prefetcher.resume()
-                        try:
-                            losses = np.asarray(
-                                jax.device_get(losses), np.float64)
-                        finally:
-                            if exec_window:
-                                self._prefetcher.pause()
-                        last_chunk_wall = time.perf_counter() - t_disp
-                    first_chunk = False
-                    # Publish state so callbacks (saves, web preview) see progress.
-                    self.image, self.average = state.image, state.ema
-                    t_now = time.time()
-
-                    # Snapshot BEFORE callbacks so an interrupt raised by a
-                    # callback still leaves a resumable checkpoint (the
-                    # finally below flushes the in-flight write). The
-                    # snapshot is a DEVICE-side copy (sub-ms dispatch; the
-                    # donated originals go to the next chunk, the copies
-                    # don't) — the writer thread then fetches and writes
-                    # while the device crunches subsequent chunks
-                    # (a synchronous device_get here cost 4.3 s at
-                    # 1448x1086 over the remote-attached backend).
+                        pub_image = jnp.copy(state.image)
+                        pub_ema = jax.tree.map(jnp.copy, state.ema)
+                    snap = None
                     if ckpt_writer is not None:
                         iters_since_ckpt += n
                         if (iters_since_ckpt >= checkpoint_every
                                 or done + n >= actual_its):
-                            if ckpt_writer.error is not None:
-                                print("Warning: checkpoint write failed: "
-                                      f"{ckpt_writer.error}")
-                                ckpt_writer.error = None
                             opt_key = "adam" if optimizer == "adam" else "lbfgs"
                             with _phase_timer(f"ckpt-snapshot@{scale}"):
-                                snap = jax.tree.map(
-                                    jnp.copy,
-                                    {"image": state.image, opt_key: state.opt,
-                                     "ema": state.ema},
-                                )
-                            ckpt_writer.submit(
-                                checkpoint,
-                                scale_index=scale_idx,
-                                done_iters=done + n,
-                                meta={"w": cw, "h": ch, "scale": scale,
-                                      "transposed": self._flip},
-                                optimizer=optimizer,
-                                rng=_snapshot_rng(self._rng),
-                                **snap,
-                            )
+                                snap = {
+                                    "image": pub_image,
+                                    opt_key: jax.tree.map(jnp.copy, state.opt),
+                                    "ema": pub_ema,
+                                }
                             iters_since_ckpt = 0
-                    if callback is not None:
-                        ram = peak_device_ram(self.devices, ram_baseline)
-                        for k in range(n):
-                            callback(
-                                STIterate(
-                                    w=cw, h=ch, i=done + k + 1, i_max=actual_its,
-                                    loss=float(losses[k]),
-                                    time=t_prev + (t_now - t_prev) * (k + 1) / n,
-                                    gpu_ram=ram,
-                                )
-                            )
+                    if pending is not None:
+                        _drain(pending)
+                    pending = (n, losses, pub_image, pub_ema, snap,
+                               done + n, t_disp, phase_name)
+                    first_chunk = False
                     done += n
-                    t_prev = t_now
+                if pending is not None:
+                    _drain(pending)
 
                 self._prefetcher.resume()
                 prefetch_paused = False
